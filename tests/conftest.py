@@ -1,0 +1,40 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding logic
+is exercised without TPU hardware. The flags must be set before jax is
+imported anywhere.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def load_reference_modules():
+    """Import the reference implementation (pure-python parts only) for
+    parity tests. Returns None if it cannot be imported."""
+    import numpy as np
+
+    ref_root = "/root/reference"
+    if not os.path.isdir(ref_root):
+        return None
+    # the reference targets numpy<1.20
+    if not hasattr(np, "float"):
+        np.float = float  # type: ignore[attr-defined]
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    try:
+        import mesher as ref_mesher  # noqa: F401
+        import utils as ref_utils  # noqa: F401
+        return {"mesher": ref_mesher, "utils": ref_utils}
+    except Exception:
+        return None
