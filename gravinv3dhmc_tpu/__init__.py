@@ -10,5 +10,11 @@ bootstrap inversion, wavelet kernel compression, and multi-chip scaling via
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Host-side f64 (kernel construction, CG parity) needs x64; device hot paths
+# cast explicitly to f32/bf16, so TPU performance is unaffected.
+_jax.config.update("jax_enable_x64", True)
+
 from . import constants  # noqa: F401
 from .config import HMCConfig, load_setpmts  # noqa: F401

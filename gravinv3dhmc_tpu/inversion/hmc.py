@@ -1,0 +1,356 @@
+"""Hamiltonian Monte Carlo sampling, TPU-native.
+
+Re-designs the reference's single-chain numpy sampler
+(reference: inversion/hmc.py:29-354) around XLA:
+
+* The leapfrog trajectory is a ``lax.scan`` over ``Lmax`` steps with a
+  per-iteration random trajectory length ``L ~ U[Lmin, Lmax]`` applied by
+  masking — static shapes, fully jit-compiled
+  (reference randomises L per iteration, inversion/hmc.py:297).
+* Chains are a vmapped batch axis: C chains' matvecs fuse into one
+  (C, M) x (M, D) MXU matmul per leapfrog step, replacing the reference's
+  ``mpiexec`` independent ranks that each rebuilt the full kernel
+  (reference: run_main.sh:18, SURVEY.md §2 parallelism table).
+* The acceptance-driven outer loop ("run until N *accepted* samples",
+  reference: inversion/hmc.py:295,334) runs as jitted chunks of fixed
+  iteration count with host-side per-chain bookkeeping, so chains never
+  desynchronise the compiled program.
+
+Reference semantics preserved:
+
+* identity mass matrix with momentum drawn as ``p ~ N(0, Sigma^2)``
+  (reference: inversion/hmc.py:95,386-389 — note this tempers the target
+  unless Sigma == 1; preserved because every shipped config relies on it);
+* 'mandatory' boundary handling: clamp to the bound and negate the
+  momentum component (reference: inversion/hmc.py:135-141; the true
+  reflection variant is kept commented out there too);
+* Metropolis accept on the full Hamiltonian; rejected proposals are
+  discarded, not re-recorded (reference appends only accepted samples,
+  inversion/hmc.py:306-332);
+* sample files ``model.dat`` / 7-column ``misfit.dat`` in the same text
+  format and units (models un-weighted via WmInv before writing,
+  reference: inversion/hmc.py:241-249,318-332).
+
+One deliberate efficiency fix: the reference re-evaluates the potential at
+the trajectory start every iteration ("first forward",
+inversion/hmc.py:105); here the (U, grad) of the current state is carried
+between iterations, saving one gradient evaluation per trajectory.
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from .potential import logistic_to_mw, mw_to_logistic
+
+
+@dataclass
+class ChunkResult:
+    """Host-side view of one jitted sampling chunk."""
+
+    xs: np.ndarray        # (chunk, C, M) post-iteration positions
+    accept: np.ndarray    # (chunk, C) bool
+    u: np.ndarray         # (chunk, C) total misfit at the iteration's state
+    u_data: np.ndarray    # (chunk, C)
+    u_model: np.ndarray   # (chunk, C)
+    grad_evals: int       # useful gradient evaluations in this chunk
+
+
+def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
+                       constraint, alpha, chunk_size, dtype=jnp.float32):
+    """Build the jitted ``(x, U, g, key) -> ChunkResult arrays`` kernel.
+
+    ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
+    batched over a leading chain axis (see
+    :meth:`GravMagModule.make_potential`).
+    """
+    dt = jnp.asarray(dt, dtype)
+    Sigma = jnp.asarray(Sigma, dtype)
+    low = jnp.asarray(low, dtype)
+    high = jnp.asarray(high, dtype)
+    alpha_c = jnp.asarray(alpha, dtype)
+    mandatory = constraint == "mandatory"
+
+    def one_iteration(carry, key):
+        x, U, g, u_data, u_model = carry  # (C, M), (C,), (C, M), (C,), (C,)
+        C = x.shape[0]
+        kL, kp, ku = random.split(key, 3)
+        L = random.randint(kL, (C,), Lmin, Lmax + 1)  # per-chain length
+        p0 = random.normal(kp, x.shape, dtype) * Sigma
+        K0 = 0.5 * jnp.sum(p0 * p0, axis=-1)
+        H0 = K0 + U
+        # first half kick
+        p = p0 - 0.5 * dt * g
+
+        def leapfrog_step(state, i):
+            x, p, U_l, g_l, ud_l, um_l = state
+            active = (i < L)[:, None]  # (C, 1)
+            x_new = x + dt * p
+            p_new = p
+            if mandatory:
+                over = x_new > high
+                under = x_new < low
+                x_new = jnp.clip(x_new, low, high)
+                p_new = jnp.where(over | under, -p_new, p_new)
+            U_new, g_new, (_, ud_new, um_new) = potential_fn(x_new, alpha_c)
+            # full kick inside the trajectory, half kick on the last step
+            last = (i == L - 1)[:, None]
+            kick = jnp.where(last, 0.5 * dt, dt)
+            p_new = p_new - kick * g_new
+            # masked update: steps beyond this chain's L pass through
+            x = jnp.where(active, x_new, x)
+            p = jnp.where(active, p_new, p)
+            U_l = jnp.where(active[:, 0], U_new, U_l)
+            ud_l = jnp.where(active[:, 0], ud_new, ud_l)
+            um_l = jnp.where(active[:, 0], um_new, um_l)
+            g_l = jnp.where(active, g_new, g_l)
+            return (x, p, U_l, g_l, ud_l, um_l), None
+
+        state0 = (x, p, U, g, u_data, u_model)
+        (x_new, p_new, U_new, g_new, ud_new, um_new), _ = lax.scan(
+            leapfrog_step, state0, jnp.arange(Lmax))
+
+        K_new = 0.5 * jnp.sum(p_new * p_new, axis=-1)
+        H_new = K_new + U_new
+        u = random.uniform(ku, (C,), dtype)
+        accept = (H_new < H0) | (u < jnp.exp(-(H_new - H0)))
+        acc_col = accept[:, None]
+        x = jnp.where(acc_col, x_new, x)
+        U = jnp.where(accept, U_new, U)
+        g = jnp.where(acc_col, g_new, g)
+        u_data = jnp.where(accept, ud_new, u_data)
+        u_model = jnp.where(accept, um_new, u_model)
+        # pack per-iteration scalars into one array: 2 host transfers/chunk
+        stats = jnp.stack([accept.astype(dtype), U, u_data, u_model,
+                           L.astype(dtype)], axis=-1)  # (C, 5)
+        return (x, U, g, u_data, u_model), (x, stats)
+
+    @jax.jit
+    def run_chunk(x, U, g, u_data, u_model, base_key, chunk_idx):
+        # key derivation inside jit: one dispatch per chunk, no eager
+        # random.split round-trips over a high-latency device link
+        key = random.fold_in(base_key, chunk_idx)
+        keys = random.split(key, chunk_size)
+        carry, outs = lax.scan(one_iteration, (x, U, g, u_data, u_model), keys)
+        return carry, outs
+
+    return run_chunk
+
+
+class HamiltonianMC:
+    """Chain ensemble sampler with the reference's run semantics.
+
+    Construction mirrors the reference's attribute-driven setup
+    (reference: inversion/hmc.py:29-42,358-403); :func:`HMCSample` is the
+    compatible factory.
+    """
+
+    def __init__(self, model):
+        self.model = model
+        self.dt = None
+        self.Lrange = [10, 50]
+        self.Sigma = 1.0
+        self.seed = 0
+        self.myrank = 0
+        self.save_folder = "mychain"
+        self.constraint = "mandatory"
+        self.log_factor = 1000.0
+        self.RegulFactor = 1.0
+        self.regularization = "Damping"
+        self.beta = 0.01
+        self.nchains = 1
+        self.chunk_size = 64
+        self.dtype = jnp.float32
+        self.verbose = True
+        # filled by configure()
+        self.low = None
+        self.high = None
+        self.initial_model = None
+        self.aprior_model = None
+        self.dobs = None
+
+    # ------------------------------------------------------------------
+    def _writers(self):
+        """Per-chain append-mode sample sinks in the reference's file
+        layout: ``<save_folder><chain>/model.dat`` etc."""
+        folders = [f"{self.save_folder}{self.myrank + c}"
+                   for c in range(self.nchains)]
+        try:
+            from ..runtime.sink import SampleSink
+            return [SampleSink(f) for f in folders]
+        except Exception:
+            from ..runtime.sink_py import PySampleSink
+            return [PySampleSink(f) for f in folders]
+
+    def sample(self, nsamples, ndraws, max_chunks=None, callback=None):
+        """Run until every chain has ``ndraws + nsamples`` accepted samples.
+
+        Returns a dict with posterior file paths and throughput stats.
+        """
+        C = self.nchains
+        M = self.initial_model.shape[0]
+        total = nsamples + ndraws
+        dtype = self.dtype
+
+        potential_fn = self.model.make_potential(
+            self.aprior_model, self.low, self.high,
+            constraint=self.constraint, log_factor=self.log_factor,
+            regularization=self.regularization, beta=self.beta, dtype=dtype)
+
+        # convert m-domain init to the optimisation variable x
+        mw0 = np.broadcast_to(self.initial_model, (C, M)).astype(np.float64)
+        if self.constraint == "logarithmic":
+            x0 = mw_to_logistic(mw0, self.low, self.high, self.log_factor)
+        elif self.constraint == "mandatory":
+            x0 = mw0
+        else:
+            raise ValueError(
+                "Please choose right boundary constraint(mandatory, "
+                "logarithmic)!")
+
+        run_chunk = make_chunk_sampler(
+            potential_fn, dt=self.dt, Lmin=self.Lrange[0],
+            Lmax=self.Lrange[1], Sigma=self.Sigma, low=self.low,
+            high=self.high, constraint=self.constraint,
+            alpha=self.RegulFactor, chunk_size=self.chunk_size, dtype=dtype)
+
+        x = jnp.asarray(x0, dtype)
+        U, g, (_, u_data, u_model) = potential_fn(x, self.RegulFactor)
+        base_key = random.fold_in(random.PRNGKey(self.seed), self.myrank)
+
+        writers = self._writers()
+        wdiag_inv = np.asarray(self.model.wdiag_inv)
+        data_size = self.dobs.shape[0]
+        model_size = M
+        alpha = self.RegulFactor
+
+        accepted = np.zeros(C, dtype=np.int64)
+        attempted = 0
+        grad_evals = 0
+        if max_chunks is None:
+            max_chunks = max(200, 100 * total // self.chunk_size + 10)
+        t0 = time.time()
+        n_chunks = 0
+        while accepted.min() < total:
+            if n_chunks >= max_chunks:
+                print(f"WARNING: stopping after {n_chunks} chunks with "
+                      f"accepted counts {accepted.tolist()}")
+                break
+            (x, U, g, u_data, u_model), (xs_d, stats_d) = run_chunk(
+                x, U, g, u_data, u_model, base_key, n_chunks)
+            xs = np.asarray(xs_d)
+            stats_h = np.asarray(stats_d)  # (chunk, C, 5)
+            acc = stats_h[..., 0] > 0.5
+            u_tot = stats_h[..., 1]
+            ud = stats_h[..., 2]
+            um = stats_h[..., 3]
+            n_chunks += 1
+            attempted += self.chunk_size * C
+            grad_evals += int(stats_h[..., 4].sum())
+            # host bookkeeping: append accepted post-warmup samples
+            for c in range(C):
+                acc_idx = np.flatnonzero(acc[:, c])
+                for t in acc_idx:
+                    if accepted[c] >= total:
+                        break
+                    if accepted[c] >= ndraws:
+                        if self.constraint == "logarithmic":
+                            mw = logistic_to_mw(
+                                xs[t, c].astype(np.float64),
+                                np.asarray(self.low), np.asarray(self.high),
+                                self.log_factor, xp=np)
+                        else:
+                            mw = xs[t, c].astype(np.float64)
+                        m = wdiag_inv * mw
+                        u_d = float(ud[t, c])
+                        u_m = float(um[t, c])
+                        u_t = float(u_tot[t, c])
+                        writers[c].append(
+                            m,
+                            [u_t, u_d, u_m,
+                             u_d / data_size + alpha * u_m / model_size,
+                             u_d / data_size, u_m / model_size, alpha])
+                    accepted[c] += 1
+            if self.verbose:
+                frac = accepted.min() / total
+                ratio = accepted.sum() / attempted
+                print("chain {}: {:.2%}, misfit(total, data, alpha, model)="
+                      "({:.7f},{:.7f},{:.2f},{:.7f}) -- accept ratio {:.2%}"
+                      .format(self.myrank, frac,
+                              float(ud[-1, 0]) / data_size
+                              + alpha * float(um[-1, 0]) / model_size,
+                              float(ud[-1, 0]) / data_size, alpha,
+                              float(um[-1, 0]) / model_size, ratio),
+                      flush=True)
+            if callback is not None:
+                callback(accepted, x)
+        for w in writers:
+            w.close()
+        elapsed = time.time() - t0
+        return {
+            "folders": [w.folder for w in writers],
+            "accepted": accepted.tolist(),
+            "attempted": attempted,
+            "accept_ratio": float(accepted.sum()) / max(attempted, 1),
+            "elapsed_s": elapsed,
+            "grad_evals": grad_evals,
+            "grad_evals_per_s": grad_evals / max(elapsed, 1e-9),
+        }
+
+
+# reference-compatible misspelled alias (inversion/hmc.py:29)
+HamitonianMC = HamiltonianMC
+
+
+def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
+              aprior_model, boundaries, constraint, log_factor, dobs,
+              adaptiveRegul=None, RegulRate=None, RegulFactor=1.0,
+              regularization="Damping", beta=0.01, seed=100, Sigma=1.0,
+              nbest=100, myrank=0, save_folder="mychain", plotsamples=False,
+              im=(0, 0), nchains=1, chunk_size=64, dtype=jnp.float32,
+              verbose=True):
+    """Reference-compatible chain factory (inversion/hmc.py:358-403).
+
+    ``nchains`` extends the reference: instead of one chain per MPI rank,
+    C chains run vmapped on-device, writing ``save_folder{myrank + c}/``
+    so multi-chain post-processing scripts read the same layout.
+    ``adaptiveRegul``/``RegulRate``/``nbest``/``plotsamples``/``im`` are
+    accepted for parity; the first three were dead code in the reference
+    (inversion/hmc.py:53-68 never called from sample) and plotting lives in
+    the vis layer here.
+    """
+    chain = HamiltonianMC(model)
+    chain.myrank = myrank
+    chain.save_folder = save_folder
+    chain.seed = seed + myrank
+    chain.constraint = constraint
+    chain.log_factor = log_factor
+    chain.Lrange = list(Lrange)
+    chain.dt = delta
+    chain.Sigma = Sigma
+    chain.RegulFactor = RegulFactor
+    chain.regularization = regularization
+    chain.beta = beta
+    chain.nchains = nchains
+    chain.chunk_size = chunk_size
+    chain.dtype = dtype
+    chain.verbose = verbose
+
+    boundaries = np.asarray(boundaries, dtype=np.float64)
+    wdiag = np.asarray(model.wdiag)
+    # m-domain -> mw-domain (reference: inversion/hmc.py:393-401)
+    chain.low = wdiag * boundaries[:, 0]
+    chain.high = wdiag * boundaries[:, 1]
+    chain.initial_model = wdiag * np.asarray(initial_model, dtype=np.float64)
+    chain.aprior_model = wdiag * np.asarray(aprior_model, dtype=np.float64)
+    chain.dobs = np.asarray(dobs, dtype=np.float64)
+
+    return chain.sample(nsamples, ndraws)

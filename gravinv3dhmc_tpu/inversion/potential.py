@@ -1,0 +1,390 @@
+"""Misfit/gradient provider for gravity & magnetic inversion.
+
+TPU-first re-design of the reference's ``GravMagModule``
+(reference: inversion/potential.py:34-845). The module
+
+1. builds the mesh and the dense sensitivity matrix for the requested
+   (coordinate, field) pair — vectorised host/f64 or device/f32 builders
+   replace the multiprocessing pool (reference: gravmag/prism.py:998-1038);
+2. applies sensitivity (depth) weighting as a single reduction,
+   ``w_j = (sum_i A_ij^2)^weightfactor`` — replacing the O(D*M) pure-Python
+   double loop that cost as much as the kernel build itself
+   (reference: inversion/potential.py:240-244);
+3. exposes the potential energy ``U(x) = U_data + alpha * U_model`` and its
+   gradient through one scalar JAX function differentiated with
+   ``jax.value_and_grad`` — replacing hand-coded per-regularizer gradients
+   (reference: inversion/potential.py:688-810). The analytic gradients of
+   the reference are reproduced exactly by autodiff for all four
+   regularizers (verified in tests).
+
+Semantics preserved from the reference, including its quirks:
+
+* mean-removed data residual (inversion/potential.py:706-708);
+* regularizers act on the *weighted* model mw (inversion/potential.py:719);
+* ``weightfactor`` applies to the column sum of squares, so the default 0.5
+  weights by the column norm (inversion/potential.py:245);
+* frozen-cell data correction ``grav_fix`` added to the prediction
+  (inversion/potential.py:699-703).
+
+One deliberate fix: under the 'logarithmic' constraint the reference
+returns the gradient with respect to mw, omitting the Jacobian of the
+logistic transform (inversion/potential.py:812-845 never chains it).
+Autodiff here differentiates through the transform, which is the
+mathematically correct HMC gradient; the shipped examples all use
+'mandatory', where the two coincide.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import mesher
+from ..ops import fd, prism
+from ..ops import wavelet as wavelet_ops
+from ..utils.units import ang2vec
+
+
+def logistic_to_mw(x, low, high, log_factor, xp=jnp):
+    """x -> mw under the 'logarithmic' boundary constraint
+    (reference: inversion/potential.py:596-601). Written in the
+    numerically stable sigmoid form of the reference's
+    (low + high*e^{kx}) / (1 + e^{kx})."""
+    s = 1.0 / (1.0 + xp.exp(-log_factor * x))
+    return low + (high - low) * s
+
+
+def mw_to_logistic(mw, low, high, log_factor, xp=np):
+    """mw -> x, the inverse transform (reference: inversion/hmc.py:270-278)."""
+    return (1.0 / log_factor) * xp.log((mw - low) / (high - mw))
+
+
+def sensitivity_weighting(A, weightfactor=0.5):
+    """Depth weighting from column energies.
+
+    Returns (Aw, wdiag, wdiag_inv): ``wdiag_j = (sum_i A_ij^2)^wf`` and
+    ``Aw = A / wdiag`` with zero columns left unscaled
+    (reference: inversion/potential.py:232-264, minus its zero-column bug).
+    """
+    col_sq = np.einsum("ij,ij->j", A, A)
+    wdiag = np.power(col_sq, weightfactor)
+    wdiag_inv = np.where(wdiag == 0, 0.0, 1.0 / np.where(wdiag == 0, 1.0, wdiag))
+    Aw = A * wdiag_inv[None, :]
+    return Aw, wdiag, wdiag_inv
+
+
+class GravMagModule:
+    """Builds kernel + weighting and provides jitted misfit/gradient.
+
+    Constructor signature mirrors the reference
+    (inversion/potential.py:35-182). ``njobs`` is accepted for API parity
+    and ignored — the kernel build is vectorised, not process-pooled.
+    Any extra keyword argument is treated as the topography triple
+    ``mtopo = (x, y, height)``, as in the reference (potential.py:94-98).
+    """
+
+    def __init__(self, dobs, mrange, mspacing, obsurface, fixed=False,
+                 grav_fix=(), mratio=1, mseg=False, mdivisionsection=(),
+                 weightfactor=0.5, coordinate="cartesian", njobs=1,
+                 field="gravity", mangle=(90, 0), wavelet_mode=None,
+                 wavelet=False, kernel_backend="numpy", dtype=jnp.float32,
+                 verbose=True, **kwargs):
+        self.dobs = np.asarray(dobs, dtype=np.float64)
+        self.fixed = fixed
+        self.grav_fix = np.asarray(grav_fix, dtype=np.float64) if fixed else None
+        self.mrange = mrange
+        self.mspacing = mspacing
+        self.mratio = mratio
+        self.weightfactor = weightfactor
+        self.mseg = mseg
+        self.mdivisionsection = mdivisionsection
+        self.lonobs = np.asarray(obsurface[0], dtype=np.float64)
+        self.latobs = np.asarray(obsurface[1], dtype=np.float64)
+        self.heightobs = np.asarray(obsurface[2], dtype=np.float64)
+        self.inc, self.dec = mangle
+        self.coordinate = coordinate
+        self.field = field
+        self.dtype = dtype
+        self.topocarve = False
+        self.mask = []
+        # reference passes wavelet via the positional name 'wavelet'
+        self.wavelet = wavelet_mode if wavelet_mode is not None else wavelet
+
+        mtopo = None
+        for _key, value in kwargs.items():
+            self.topocarve = True
+            mtopo = value
+
+        if coordinate not in ("cartesian", "spherical"):
+            raise ValueError(
+                "Please choose coordinate from(cartesian, spherical) and "
+                "field from(gravity, magnetic)!")
+        if field not in ("gravity", "magnetic"):
+            raise ValueError(
+                "Please choose coordinate from(cartesian, spherical) and "
+                "field from(gravity, magnetic)!")
+        if coordinate == "spherical" and field == "magnetic":
+            raise NotImplementedError(
+                "spherical magnetic is not implemented (the reference stubs "
+                "it too, inversion/potential.py:106-108)")
+
+        # ----- mesh ------------------------------------------------------
+        if coordinate == "spherical":
+            if mseg:
+                mesh = mesher.TesseroidMeshSegment(mrange, mspacing,
+                                                   mdivisionsection)
+            else:
+                mesh = mesher.TesseroidMesh(mrange, mspacing, mratio)
+        else:
+            if mseg:
+                mesh = mesher.PrismMeshSegment(mrange, mspacing,
+                                               mdivisionsection)
+            else:
+                mesh = mesher.PrismMesh(mrange, mspacing, mratio)
+        if mtopo is not None:
+            self.mask = mesh.carvetopo(mtopo[0], mtopo[1], mtopo[2])
+        self.mesh = mesh
+        self.mshape = mesh.shape
+        self.mxs = mesh.get_xs()
+        self.mys = mesh.get_ys()
+        self.mzs = mesh.get_zs()
+
+        # ----- kernel matrix ---------------------------------------------
+        if verbose:
+            print("Calculating {} field in {} coordinate.".format(field, coordinate))
+            print("Start of calculate kernel")
+        start = time.time()
+        if coordinate == "cartesian" and field == "gravity":
+            mesh.addprop("density", np.zeros(mesh.size))
+            kernel = prism.prism_kernel_matrix(
+                "gz", self.lonobs, self.latobs, self.heightobs, mesh,
+                backend=kernel_backend)
+        elif coordinate == "cartesian" and field == "magnetic":
+            mesh.addprop("magnetization",
+                         ang2vec(np.zeros(mesh.size), self.inc, self.dec))
+            _, kernel = prism.tf(self.lonobs, self.latobs, self.heightobs,
+                                 mesh, self.inc, self.dec)
+        else:  # spherical gravity
+            from ..ops import tesseroid as tess
+            mesh.addprop("density", np.zeros(mesh.size))
+            kernel = tess.tesseroid_kernel_matrix(
+                "gz", self.lonobs, self.latobs, self.heightobs, mesh)
+        if verbose:
+            print("End of calculate kernel:%.6f s" % (time.time() - start))
+
+        # ----- weighting --------------------------------------------------
+        if verbose:
+            print("Start to weight kernel")
+        start = time.time()
+        Aw, wdiag, wdiag_inv = sensitivity_weighting(kernel, weightfactor)
+        if verbose:
+            print("End of weighting kernel: %.6f s" % (time.time() - start))
+        self.A = kernel
+        self.Aw = Aw
+        self.wdiag = wdiag
+        self.wdiag_inv = wdiag_inv
+        self.n_active = Aw.shape[1]
+
+        # active-cell grid for carved Smoothness/TV
+        self._active3d = (mesh.active.reshape(mesh.shape)
+                          if not mesh.active.all() else None)
+
+        # ----- wavelet compression ---------------------------------------
+        self.Awcp = None
+        self._model_transform = None
+        if self.wavelet == "1D":
+            if verbose:
+                print("Using 1D wavelet to compress kernel.")
+            self.Awcp = wavelet_ops.kernelcompressor_1d(Aw)
+            self._model_transform = wavelet_ops.make_model_transform(mode="1D")
+        elif self.wavelet == "3D":
+            if verbose:
+                print("Using 3D wavelet to compress kernel.")
+            self.Awcp = wavelet_ops.kernelcompressor_3d(Aw, self.mshape)
+            self._model_transform = wavelet_ops.make_model_transform(
+                mshape=self.mshape, mode="3D")
+
+        # ----- device arrays ---------------------------------------------
+        self._dev = {}
+        self._potential_cache = {}
+
+    # ------------------------------------------------------------------ API
+    def kernelw(self):
+        """Weighted kernel and (vector) weighting diagonals.
+
+        Unlike the reference, the diagonals are returned as 1-D vectors
+        rather than sparse matrices (reference: inversion/potential.py:583-589
+        returns Aw, WmInv, Wm).
+        """
+        return self.Aw, self.wdiag_inv, self.wdiag
+
+    def device_arrays(self, dtype=None):
+        """Kernel/observation arrays staged on device at the given dtype."""
+        dtype = dtype or self.dtype
+        key = jnp.dtype(dtype).name
+        if key not in self._dev:
+            arrs = {
+                "Aw": jnp.asarray(self.Aw, dtype=dtype),
+                "dobs": jnp.asarray(self.dobs, dtype=dtype),
+                "grav_fix": (jnp.asarray(self.grav_fix, dtype=dtype)
+                             if self.fixed else None),
+            }
+            if self.Awcp is not None:
+                from jax.experimental import sparse as jsparse
+                coo = self.Awcp.tocoo()
+                arrs["Awcp"] = jsparse.BCOO(
+                    (jnp.asarray(coo.data, dtype=dtype),
+                     jnp.column_stack([jnp.asarray(coo.row), jnp.asarray(coo.col)])),
+                    shape=self.Awcp.shape)
+            self._dev[key] = arrs
+        return self._dev[key]
+
+    def predict(self, mw, use_wavelet=None):
+        """Predicted (weighted-domain) data for a model batch ``(..., M)``."""
+        arrs = self.device_arrays()
+        use_wavelet = self.wavelet if use_wavelet is None else use_wavelet
+        if use_wavelet and self.Awcp is not None:
+            mcp = self._model_transform(mw)
+            return (arrs["Awcp"] @ mcp.T).T if mw.ndim > 1 else arrs["Awcp"] @ mcp
+        return mw @ arrs["Aw"].T
+
+    # ----------------------------------------------------- potential energy
+    def make_potential(self, aprior_mw, low, high, constraint="mandatory",
+                       log_factor=1000.0, regularization="Damping",
+                       beta=0.01, use_wavelet=None, dtype=None):
+        """Return jittable ``U(x, alpha) -> (U, (dpre, U_data, U_model))``.
+
+        ``x`` may be a single model (M,) or a chain batch (C, M) — all
+        operations are batched over leading axes so vmapped chains share one
+        MXU matmul. ``aprior_mw``, ``low``, ``high`` are in the weighted
+        (mw) domain, as in the reference sampler
+        (reference: inversion/hmc.py:393-401).
+        """
+        if regularization not in ("MS", "Damping", "Smoothness", "TV"):
+            raise ValueError(
+                "Please choose regularization from 'MS','Damping', "
+                "'Smoothness', 'TV'.")
+        if constraint not in ("mandatory", "logarithmic"):
+            raise ValueError(
+                "Please choose right boundary constraint(mandatory, "
+                "logarithmic)!")
+        dtype = dtype or self.dtype
+        arrs = self.device_arrays(dtype)
+        use_wavelet = self.wavelet if use_wavelet is None else use_wavelet
+        use_wavelet = use_wavelet if self.Awcp is not None else False
+
+        aprior_mw = jnp.asarray(aprior_mw, dtype=dtype)
+        low = jnp.asarray(low, dtype=dtype)
+        high = jnp.asarray(high, dtype=dtype)
+        dobs = arrs["dobs"]
+        dobs_centered = dobs - jnp.mean(dobs)
+        wm_sq = jnp.asarray(self.wdiag * self.wdiag, dtype=dtype)
+        active3d = (jnp.asarray(self._active3d) if self._active3d is not None
+                    else None)
+        mshape = self.mshape
+        Aw = arrs["Aw"]
+        grav_fix = arrs["grav_fix"]
+        Awcp = arrs.get("Awcp")
+        model_transform = self._model_transform
+        lf = float(log_factor)
+        beta = float(beta)
+
+        def data_term(mw):
+            if use_wavelet:
+                dpre = Awcp @ model_transform(mw)
+            else:
+                dpre = Aw @ mw
+            dinv = dpre + grav_fix if grav_fix is not None else dpre
+            r = (dinv - jnp.mean(dinv)) - dobs_centered
+            return jnp.sum(r * r), dpre
+
+        if self._active3d is not None:
+            active_idx = jnp.asarray(np.flatnonzero(self.mesh.active))
+        else:
+            active_idx = None
+
+        def scatter_full(dm):
+            """Packed active-cell vector -> dense grid vector (carved
+            Smoothness/TV; the reference cannot regularise carved meshes
+            with fd3d at all)."""
+            if active_idx is None:
+                return dm
+            full = jnp.zeros(int(np.prod(mshape)), dtype=dm.dtype)
+            return full.at[active_idx].set(dm)
+
+        def model_term(mw):
+            dm = mw - aprior_mw
+            if regularization == "MS":
+                dm2 = dm * dm
+                return jnp.sum(wm_sq * dm2 / (dm2 + beta))
+            if regularization == "Damping":
+                return jnp.sum(dm * dm)
+            if regularization == "Smoothness":
+                return fd.smoothness_value(scatter_full(dm), mshape, jnp,
+                                           active3d)
+            # TV
+            return fd.tv_value(scatter_full(dm), mshape, beta, jnp, active3d)
+
+        def potential_scalar(x, alpha):
+            if constraint == "logarithmic":
+                mw = logistic_to_mw(x, low, high, lf)
+            else:
+                mw = x
+            u_data, dpre = data_term(mw)
+            u_model = model_term(mw)
+            return u_data + alpha * u_model, (dpre, u_data, u_model)
+
+        grad_fn = jax.value_and_grad(potential_scalar, has_aux=True)
+
+        @jax.jit
+        def batched(x, alpha):
+            x = jnp.asarray(x, dtype=dtype)
+            alpha = jnp.asarray(alpha, dtype=dtype)
+            if x.ndim == 1:
+                (u, aux), g = grad_fn(x, alpha)
+                return u, g, aux
+            (u, aux), g = jax.vmap(lambda xi: grad_fn(xi, alpha))(x)
+            return u, g, aux
+
+        return batched
+
+    # --------------------------------------------- reference-compatible API
+    def misfit_and_grad(self, x, mwapr, low, high, constraint, log_fator,
+                        alpha, regulization="Damping", beta=0.01):
+        """Drop-in for the reference's duck-typed sampler interface
+        (reference: inversion/potential.py:812-845). Returns
+        (misfit, grad, dpre, data_value, model_value) as numpy arrays."""
+        key = (regulization, constraint, float(beta), float(log_fator))
+        if key not in self._potential_cache:
+            self._potential_cache[key] = self.make_potential(
+                mwapr, low, high, constraint=constraint, log_factor=log_fator,
+                regularization=regulization, beta=beta)
+        fn = self._potential_cache[key]
+        u, g, (dpre, u_data, u_model) = fn(
+            jnp.asarray(x, dtype=self.dtype), float(alpha))
+        return (float(u), np.asarray(g), np.asarray(dpre),
+                float(u_data), float(u_model))
+
+    def data(self, x, low, high, constraint, log_fator):
+        """Data-term value only (adaptive-alpha helper,
+        reference: inversion/potential.py:591-609)."""
+        if constraint == "logarithmic":
+            mw = logistic_to_mw(np.asarray(x), np.asarray(low),
+                                np.asarray(high), log_fator, xp=np)
+        elif constraint == "mandatory":
+            mw = np.asarray(x)
+        else:
+            raise ValueError(
+                "Please choose right boundary constraint(mandatory, "
+                "logarithmic)!")
+        if self.wavelet == "1D" and self.Awcp is not None:
+            dpre = wavelet_ops.modelcompressor_1d(mw, self.Awcp)
+        elif self.wavelet == "3D" and self.Awcp is not None:
+            dpre = wavelet_ops.modelcompressor_3d(mw, self.Awcp, self.mshape)
+        else:
+            dpre = self.Aw @ mw
+        r = (dpre - dpre.mean()) - (self.dobs - self.dobs.mean())
+        return float(r @ r)

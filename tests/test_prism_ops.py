@@ -1,0 +1,165 @@
+"""Forward-operator correctness tests for the prism fields.
+
+The reference's Cython backend cannot run here, so correctness anchors are
+analytic (SURVEY.md §4): Bouguer-slab and point-mass limits, Laplace's
+equation for the tensor, field symmetries, potential/gravity consistency,
+and cross-backend (f64 host vs f32 jax) agreement.
+"""
+import numpy as np
+import pytest
+
+from gravinv3dhmc_tpu import constants, mesher
+from gravinv3dhmc_tpu.ops import prism
+
+
+def single_prism(x1=-50, x2=50, y1=-50, y2=50, z1=100, z2=200):
+    return np.array([[x1, x2, y1, y2, z1, z2]], dtype=float)
+
+
+class TestAnalyticLimits:
+    def test_bouguer_slab_limit(self):
+        # very wide thin slab: gz -> 2 pi G rho t
+        t = 100.0
+        cells = single_prism(-4e6, 4e6, -4e6, 4e6, 500, 500 + t)
+        res, k = prism.gz(np.array([0.0]), np.array([0.0]), np.array([0.0]),
+                          cells, dens=1.0)
+        expected = 2 * np.pi * constants.G * constants.SI2MGAL * 1.0 * t
+        assert res[0] == pytest.approx(expected, rel=1e-3)
+        assert k[0, 0] == pytest.approx(expected, rel=1e-3)
+
+    def test_point_mass_limit(self):
+        # small prism far away behaves like a point mass
+        a = 10.0
+        depth = 1000.0
+        cells = single_prism(-a / 2, a / 2, -a / 2, a / 2,
+                             depth - a / 2, depth + a / 2)
+        res, _ = prism.gz(np.array([0.0]), np.array([0.0]), np.array([0.0]),
+                          cells, dens=1.0)
+        expected = constants.G * constants.SI2MGAL * a ** 3 * depth / depth ** 3
+        assert res[0] == pytest.approx(expected, rel=1e-4)
+
+    def test_point_mass_direction_gx(self):
+        # mass to the north (+x) pulls north: gx > 0 at origin
+        cells = single_prism(900, 1100, -100, 100, 900, 1100)
+        res, _ = prism.gx(np.array([0.0]), np.array([0.0]), np.array([0.0]),
+                          cells, dens=1.0)
+        assert res[0] > 0
+
+    def test_laplace_equation(self):
+        xo = np.array([123.0, -40.0])
+        yo = np.array([77.0, 210.0])
+        zo = np.array([-1.0, -10.0])
+        cells = single_prism()
+        trace = np.zeros(2)
+        for comp in (prism.gxx, prism.gyy, prism.gzz):
+            res, _ = comp(xo, yo, zo, cells, dens=1.3)
+            trace += res
+        np.testing.assert_allclose(trace, 0.0, atol=1e-10)
+
+    def test_symmetry(self):
+        cells = single_prism()
+        for xo, xo2 in [(300.0, -300.0)]:
+            r1, _ = prism.gz(np.array([xo]), np.array([0.0]), np.array([0.0]),
+                             cells, dens=1.0)
+            r2, _ = prism.gz(np.array([xo2]), np.array([0.0]), np.array([0.0]),
+                             cells, dens=1.0)
+            assert r1[0] == pytest.approx(r2[0], rel=1e-12)
+
+    def test_gz_is_vertical_derivative_of_potential(self):
+        cells = single_prism()
+        x = np.array([30.0])
+        y = np.array([-20.0])
+        h = 0.01
+        pot_up, _ = prism.potential(x, y, np.array([-h]), cells, dens=1.0)
+        pot_dn, _ = prism.potential(x, y, np.array([h]), cells, dens=1.0)
+        gz_val, _ = prism.gz(x, y, np.array([0.0]), cells, dens=1.0)
+        # gz [mGal] = -dV/dz * SI2MGAL with z down and V = G*kernelpot
+        numeric = -(pot_dn[0] - pot_up[0]) / (2 * h) * constants.SI2MGAL
+        # reference sign convention: gravity kernels already carry -grad(V)
+        assert gz_val[0] == pytest.approx(-numeric, rel=1e-5)
+
+    def test_superposition(self):
+        cells = np.array([[-100, 0, -50, 50, 100, 200],
+                          [0, 100, -50, 50, 100, 200]], dtype=float)
+        merged = single_prism(-100, 100, -50, 50, 100, 200)
+        xo = np.array([10.0, 200.0])
+        yo = np.array([0.0, 30.0])
+        zo = np.array([0.0, 0.0])
+        r2, k2 = prism.gz(xo, yo, zo, cells, dens=1.0)
+        r1, _ = prism.gz(xo, yo, zo, merged, dens=1.0)
+        np.testing.assert_allclose(k2.sum(axis=1), r1, rtol=1e-12)
+        np.testing.assert_allclose(r2, r1, rtol=1e-12)
+
+    def test_observer_on_corner_is_finite(self):
+        cells = single_prism(0, 100, 0, 100, 0, 100)
+        for field in [prism.gz, prism.gxx, prism.gxy, prism.gxz,
+                      prism.gyz, prism.gzz, prism.potential]:
+            res, _ = field(np.array([0.0]), np.array([0.0]), np.array([0.0]),
+                           cells, dens=1.0)
+            assert np.isfinite(res[0])
+
+
+class TestKernelMatrix:
+    def test_kernel_matvec_equals_forward(self):
+        mesh = mesher.PrismMesh((0, 400, 0, 400, 0, 200), (100, 100, 100))
+        rng = np.random.RandomState(0)
+        rho = rng.uniform(0, 1, mesh.size)
+        mesh.addprop("density", rho)
+        xo, yo, zo = np.array([200.0]), np.array([200.0]), np.array([-1.0])
+        res, k = prism.gz(xo, yo, zo, mesh)
+        np.testing.assert_allclose(res, k @ rho, rtol=1e-12)
+
+    def test_masked_cells_excluded(self):
+        mesh = mesher.PrismMesh((0, 200, 0, 200, 0, 100), (100, 100, 100))
+        mesh.active[0] = False
+        k = prism.prism_kernel_matrix(
+            "gz", np.array([100.0]), np.array([100.0]), np.array([0.0]), mesh)
+        assert k.shape == (1, mesh.size - 1)
+
+    def test_jax_backend_matches_numpy(self):
+        mesh = mesher.PrismMesh((0, 1000, 0, 1000, 100, 400), (100, 100, 100))
+        xo, yo = np.meshgrid(np.linspace(0, 1000, 5),
+                             np.linspace(0, 1000, 5), indexing="ij")
+        xo, yo = xo.ravel(), yo.ravel()
+        zo = np.zeros_like(xo)
+        k64 = prism.prism_kernel_matrix("gz", xo, yo, zo, mesh)
+        k32 = prism.prism_kernel_matrix("gz", xo, yo, zo, mesh, backend="jax")
+        # f32 corner-difference: absolute error bounded relative to the
+        # largest kernel entries (distant-cell entries lose relative accuracy)
+        scale = np.abs(k64).max()
+        assert np.abs(k32 - k64).max() < 2e-4 * scale
+
+
+class TestMagnetics:
+    def test_tf_vertical_field_equals_bz(self):
+        cells = single_prism()
+        mag = np.array([[0.0, 0.0, 2.0]])  # vertical magnetization vector
+        xo = np.array([130.0])
+        yo = np.array([-75.0])
+        zo = np.array([-1.0])
+
+        class FakeMesh:
+            def cell_bounds(self, only_active=False):
+                return cells
+            props = {"magnetization": mag}
+            active = np.array([True])
+
+        m = FakeMesh()
+        res_tf, _ = prism.tf(xo, yo, zo, m, inc=90.0, dec=0.0)
+        res_bz = prism.bz(xo, yo, zo, m)
+        assert res_tf[0] == pytest.approx(res_bz[0], rel=1e-10)
+
+    def test_tf_kernel_is_induced_unit_column(self):
+        cells = single_prism()
+
+        class FakeMesh:
+            def cell_bounds(self, only_active=False):
+                return cells
+            props = {"magnetization": np.array([0.0])}
+            active = np.array([True])
+
+        xo, yo, zo = np.array([200.0]), np.array([10.0]), np.array([-1.0])
+        _, k = prism.tf(xo, yo, zo, FakeMesh(), inc=45.0, dec=30.0)
+        res_unit, _ = prism.tf(xo, yo, zo, FakeMesh(), inc=45.0, dec=30.0,
+                               pmag=1.0)
+        assert k[0, 0] == pytest.approx(res_unit[0], rel=1e-12)
