@@ -1,0 +1,115 @@
+"""Benchmark: leapfrog gradient-evaluations per second per chip.
+
+Runs the reference's flagship uniformgrid HMC workload (600 obs x 6000
+cells, reference: example/uniformgrid/) with vmapped chains on whatever
+device JAX provides (TPU on the driver) and reports useful leapfrog
+gradient evaluations per second — the north-star metric of BASELINE.json.
+
+Baseline: the reference sustains ~220 grad-evals/s/chain across 2 MPI
+chains on a 72-CPU node => 440/s total (BASELINE.md "Derived" table).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from gravinv3dhmc_tpu import mesher, utils
+from gravinv3dhmc_tpu.inversion import hmc
+from gravinv3dhmc_tpu.inversion.potential import GravMagModule
+from gravinv3dhmc_tpu.ops import prism
+
+BASELINE_GRAD_EVALS_PER_S = 440.0  # 2 chains x ~220/s (BASELINE.md)
+
+
+def build_problem():
+    dx = dy = dz = 100
+    nx, ny, nz = 20, 30, 10
+    bounds = (0, nx * dx, 0, ny * dy, 0, nz * dz)
+    mesh = mesher.PrismMesh(bounds, (dz, dy, dx))
+    rho = np.zeros((nz, ny, nx))
+    rho[2:5, 10:18, 7:11] = 1.0
+    mesh.addprop("density", rho.ravel())
+    xo, yo, zo = utils.regular((0, nx * dx, 0, ny * dy), (nx, ny), z=0.0)
+    gz_pre, _ = prism.gz(xo, yo, zo, mesh)
+    dobs = utils.contaminate(gz_pre, 0.02 * gz_pre.max(), seed=1)
+    module = GravMagModule(dobs, bounds, (dz, dy, dx), (xo, yo, zo),
+                           verbose=False)
+    return module, dobs
+
+
+def main():
+    nchains = int(os.environ.get("BENCH_NCHAINS", "16"))
+    chunk_size = int(os.environ.get("BENCH_CHUNK", "128"))
+    n_timed_chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
+
+    module, dobs = build_problem()
+    M = module.n_active
+    wdiag = module.wdiag
+    aprior = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+
+    potential_fn = module.make_potential(
+        aprior, low, high, constraint="mandatory", regularization="MS",
+        beta=0.001, dtype=jnp.float32)
+
+    nsamples = chunk_size * (n_timed_chunks + 1)
+    run_chunk = hmc.make_chunk_sampler(
+        potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
+        high=high, constraint="mandatory", alpha=1.0, chunk_size=chunk_size,
+        nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
+        data_size=dobs.size, dtype=jnp.float32)
+
+    x = jnp.asarray(np.tile((wdiag * np.full(M, 0.001))[None, :],
+                            (nchains, 1)), jnp.float32)
+    U, g, (_, u_data, u_model) = potential_fn(x, 1.0)
+    carry = (x, U, g, u_data, u_model,
+             jnp.zeros(nchains, jnp.int32),
+             jnp.zeros((nchains, nsamples, M), jnp.float32),
+             jnp.zeros((nchains, nsamples, 7), jnp.float32))
+    base_key = random.PRNGKey(0)
+
+    # warmup (compile)
+    carry, stats = run_chunk(carry, base_key, 0)
+    jax.block_until_ready(carry[5])
+
+    t0 = time.time()
+    grad_evals = 0
+    for i in range(1, n_timed_chunks + 1):
+        carry, stats = run_chunk(carry, base_key, i)
+        grad_evals += int(np.asarray(stats[..., 4]).sum())
+    jax.block_until_ready(carry[5])
+    elapsed = time.time() - t0
+
+    value = grad_evals / elapsed
+    result = {
+        "metric": "uniformgrid leapfrog grad-evals/s/chip",
+        "value": round(value, 1),
+        "unit": "grad-evals/s",
+        "vs_baseline": round(value / BASELINE_GRAD_EVALS_PER_S, 2),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "nchains": nchains,
+            "chunk_size": chunk_size,
+            "problem": [int(dobs.size), int(M)],
+            "iters_per_s": round(chunk_size * n_timed_chunks * nchains
+                                 / elapsed, 1),
+            "accept_ratio": float(np.asarray(stats[..., 0]).mean()),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,8 +13,11 @@ Re-designs the reference's single-chain numpy sampler
   (reference: run_main.sh:18, SURVEY.md §2 parallelism table).
 * The acceptance-driven outer loop ("run until N *accepted* samples",
   reference: inversion/hmc.py:295,334) runs as jitted chunks of fixed
-  iteration count with host-side per-chain bookkeeping, so chains never
-  desynchronise the compiled program.
+  iteration count. Accepted post-warmup samples are written into a
+  device-resident ring buffer inside the jitted chunk; only per-chain
+  counters and a small stats block cross the host link per chunk, and the
+  sample buffers transfer once at the end — essential over a
+  high-latency host<->TPU link.
 
 Reference semantics preserved:
 
@@ -38,10 +41,7 @@ between iterations, saving one gradient evaluation per trajectory.
 """
 from __future__ import annotations
 
-import os
 import time
-from dataclasses import dataclass, field
-from typing import Callable, Optional
 
 import numpy as np
 
@@ -52,35 +52,38 @@ from jax import lax, random
 from .potential import logistic_to_mw, mw_to_logistic
 
 
-@dataclass
-class ChunkResult:
-    """Host-side view of one jitted sampling chunk."""
-
-    xs: np.ndarray        # (chunk, C, M) post-iteration positions
-    accept: np.ndarray    # (chunk, C) bool
-    u: np.ndarray         # (chunk, C) total misfit at the iteration's state
-    u_data: np.ndarray    # (chunk, C)
-    u_model: np.ndarray   # (chunk, C)
-    grad_evals: int       # useful gradient evaluations in this chunk
-
-
 def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
-                       constraint, alpha, chunk_size, dtype=jnp.float32):
-    """Build the jitted ``(x, U, g, key) -> ChunkResult arrays`` kernel.
+                       constraint, alpha, chunk_size, nsamples, ndraws,
+                       wdiag_inv, data_size, log_factor=1000.0,
+                       dtype=jnp.float32):
+    """Build the jitted chunk kernel with a device-resident sample buffer.
 
     ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
     batched over a leading chain axis (see
     :meth:`GravMagModule.make_potential`).
+
+    The returned function has signature::
+
+        carry, stats = run_chunk(carry, base_key, chunk_idx)
+        carry = (x, U, g, u_data, u_model, nacc, buf_m, buf_k)
+
+    where ``buf_m`` is the (C, nsamples, M) accepted-sample buffer holding
+    *unweighted* models and ``buf_k`` the (C, nsamples, 7) misfit rows in
+    the reference's column layout; ``nacc`` counts accepted samples
+    (including the ``ndraws`` warm-up ones, which are not stored).
     """
     dt = jnp.asarray(dt, dtype)
     Sigma = jnp.asarray(Sigma, dtype)
     low = jnp.asarray(low, dtype)
     high = jnp.asarray(high, dtype)
     alpha_c = jnp.asarray(alpha, dtype)
+    wdiag_inv = jnp.asarray(wdiag_inv, dtype)
     mandatory = constraint == "mandatory"
+    logarithmic = constraint == "logarithmic"
+    total = nsamples + ndraws
 
     def one_iteration(carry, key):
-        x, U, g, u_data, u_model = carry  # (C, M), (C,), (C, M), (C,), (C,)
+        x, U, g, u_data, u_model, nacc, buf_m, buf_k = carry
         C = x.shape[0]
         kL, kp, ku = random.split(key, 3)
         L = random.randint(kL, (C,), Lmin, Lmax + 1)  # per-chain length
@@ -128,19 +131,44 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         g = jnp.where(acc_col, g_new, g)
         u_data = jnp.where(accept, ud_new, u_data)
         u_model = jnp.where(accept, um_new, u_model)
-        # pack per-iteration scalars into one array: 2 host transfers/chunk
+
+        # ---- device-side accepted-sample storage -------------------------
+        store = accept & (nacc >= ndraws) & (nacc < total)
+        idx = jnp.clip(nacc - ndraws, 0, nsamples - 1)
+        if logarithmic:
+            mw = logistic_to_mw(x, low, high, log_factor)
+        else:
+            mw = x
+        m_rows = mw * wdiag_inv  # unweighted model, reference units
+        model_size = x.shape[-1]
+        u_norm_d = u_data / data_size
+        u_norm_m = u_model / model_size
+        k_rows = jnp.stack([
+            U, u_data, u_model,
+            u_norm_d + alpha_c * u_norm_m, u_norm_d, u_norm_m,
+            jnp.full_like(U, alpha_c)], axis=-1)  # (C, 7)
+
+        def store_row(buf, i, row, do):
+            cur = lax.dynamic_slice_in_dim(buf, i, 1, axis=0)
+            new = jnp.where(do, row[None, :], cur)
+            return lax.dynamic_update_slice_in_dim(buf, new, i, axis=0)
+
+        buf_m = jax.vmap(store_row)(buf_m, idx, m_rows, store)
+        buf_k = jax.vmap(store_row)(buf_k, idx, k_rows, store)
+        nacc = nacc + accept.astype(nacc.dtype)
+
         stats = jnp.stack([accept.astype(dtype), U, u_data, u_model,
                            L.astype(dtype)], axis=-1)  # (C, 5)
-        return (x, U, g, u_data, u_model), (x, stats)
+        return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
 
     @jax.jit
-    def run_chunk(x, U, g, u_data, u_model, base_key, chunk_idx):
+    def run_chunk(carry, base_key, chunk_idx):
         # key derivation inside jit: one dispatch per chunk, no eager
         # random.split round-trips over a high-latency device link
         key = random.fold_in(base_key, chunk_idx)
         keys = random.split(key, chunk_size)
-        carry, outs = lax.scan(one_iteration, (x, U, g, u_data, u_model), keys)
-        return carry, outs
+        carry, stats = lax.scan(one_iteration, carry, keys)
+        return carry, stats
 
     return run_chunk
 
@@ -170,7 +198,8 @@ class HamiltonianMC:
         self.chunk_size = 64
         self.dtype = jnp.float32
         self.verbose = True
-        # filled by configure()
+        self.write_files = True
+        # filled by HMCSample()
         self.low = None
         self.high = None
         self.initial_model = None
@@ -193,7 +222,8 @@ class HamiltonianMC:
     def sample(self, nsamples, ndraws, max_chunks=None, callback=None):
         """Run until every chain has ``ndraws + nsamples`` accepted samples.
 
-        Returns a dict with posterior file paths and throughput stats.
+        Returns a dict with posterior sample arrays, file paths and
+        throughput stats.
         """
         C = self.nchains
         M = self.initial_model.shape[0]
@@ -220,83 +250,76 @@ class HamiltonianMC:
             potential_fn, dt=self.dt, Lmin=self.Lrange[0],
             Lmax=self.Lrange[1], Sigma=self.Sigma, low=self.low,
             high=self.high, constraint=self.constraint,
-            alpha=self.RegulFactor, chunk_size=self.chunk_size, dtype=dtype)
+            alpha=self.RegulFactor, chunk_size=self.chunk_size,
+            nsamples=nsamples, ndraws=ndraws,
+            wdiag_inv=self.model.wdiag_inv, data_size=self.dobs.shape[0],
+            log_factor=self.log_factor, dtype=dtype)
 
         x = jnp.asarray(x0, dtype)
         U, g, (_, u_data, u_model) = potential_fn(x, self.RegulFactor)
         base_key = random.fold_in(random.PRNGKey(self.seed), self.myrank)
+        carry = (x, U, g, u_data, u_model,
+                 jnp.zeros(C, jnp.int32),
+                 jnp.zeros((C, nsamples, M), dtype),
+                 jnp.zeros((C, nsamples, 7), dtype))
 
-        writers = self._writers()
-        wdiag_inv = np.asarray(self.model.wdiag_inv)
         data_size = self.dobs.shape[0]
         model_size = M
         alpha = self.RegulFactor
-
-        accepted = np.zeros(C, dtype=np.int64)
         attempted = 0
         grad_evals = 0
         if max_chunks is None:
             max_chunks = max(200, 100 * total // self.chunk_size + 10)
         t0 = time.time()
         n_chunks = 0
+        accepted = np.zeros(C, dtype=np.int64)
         while accepted.min() < total:
             if n_chunks >= max_chunks:
                 print(f"WARNING: stopping after {n_chunks} chunks with "
                       f"accepted counts {accepted.tolist()}")
                 break
-            (x, U, g, u_data, u_model), (xs_d, stats_d) = run_chunk(
-                x, U, g, u_data, u_model, base_key, n_chunks)
-            xs = np.asarray(xs_d)
-            stats_h = np.asarray(stats_d)  # (chunk, C, 5)
-            acc = stats_h[..., 0] > 0.5
-            u_tot = stats_h[..., 1]
-            ud = stats_h[..., 2]
-            um = stats_h[..., 3]
+            carry, stats_d = run_chunk(carry, base_key, n_chunks)
+            # tiny transfers only: counters + (chunk, C, 5) stats
+            accepted = np.asarray(carry[5]).astype(np.int64)
+            stats_h = np.asarray(stats_d)
             n_chunks += 1
             attempted += self.chunk_size * C
             grad_evals += int(stats_h[..., 4].sum())
-            # host bookkeeping: append accepted post-warmup samples
-            for c in range(C):
-                acc_idx = np.flatnonzero(acc[:, c])
-                for t in acc_idx:
-                    if accepted[c] >= total:
-                        break
-                    if accepted[c] >= ndraws:
-                        if self.constraint == "logarithmic":
-                            mw = logistic_to_mw(
-                                xs[t, c].astype(np.float64),
-                                np.asarray(self.low), np.asarray(self.high),
-                                self.log_factor, xp=np)
-                        else:
-                            mw = xs[t, c].astype(np.float64)
-                        m = wdiag_inv * mw
-                        u_d = float(ud[t, c])
-                        u_m = float(um[t, c])
-                        u_t = float(u_tot[t, c])
-                        writers[c].append(
-                            m,
-                            [u_t, u_d, u_m,
-                             u_d / data_size + alpha * u_m / model_size,
-                             u_d / data_size, u_m / model_size, alpha])
-                    accepted[c] += 1
             if self.verbose:
-                frac = accepted.min() / total
+                frac = min(accepted.min() / total, 1.0)
                 ratio = accepted.sum() / attempted
+                ud_l = float(stats_h[-1, 0, 2])
+                um_l = float(stats_h[-1, 0, 3])
                 print("chain {}: {:.2%}, misfit(total, data, alpha, model)="
                       "({:.7f},{:.7f},{:.2f},{:.7f}) -- accept ratio {:.2%}"
                       .format(self.myrank, frac,
-                              float(ud[-1, 0]) / data_size
-                              + alpha * float(um[-1, 0]) / model_size,
-                              float(ud[-1, 0]) / data_size, alpha,
-                              float(um[-1, 0]) / model_size, ratio),
+                              ud_l / data_size + alpha * um_l / model_size,
+                              ud_l / data_size, alpha, um_l / model_size,
+                              ratio),
                       flush=True)
             if callback is not None:
-                callback(accepted, x)
-        for w in writers:
-            w.close()
+                callback(accepted, carry[0])
         elapsed = time.time() - t0
+
+        # one bulk transfer of the posterior buffers
+        buf_m = np.asarray(carry[6], dtype=np.float64)
+        buf_k = np.asarray(carry[7], dtype=np.float64)
+        n_stored = np.minimum(np.maximum(accepted - ndraws, 0), nsamples)
+
+        folders = []
+        if self.write_files:
+            writers = self._writers()
+            for c, w in enumerate(writers):
+                for i in range(int(n_stored[c])):
+                    w.append(buf_m[c, i], buf_k[c, i])
+                w.close()
+            folders = [w.folder for w in writers]
+
         return {
-            "folders": [w.folder for w in writers],
+            "samples": buf_m,
+            "misfits": buf_k,
+            "n_stored": n_stored,
+            "folders": folders,
             "accepted": accepted.tolist(),
             "attempted": attempted,
             "accept_ratio": float(accepted.sum()) / max(attempted, 1),
@@ -316,7 +339,7 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
               regularization="Damping", beta=0.01, seed=100, Sigma=1.0,
               nbest=100, myrank=0, save_folder="mychain", plotsamples=False,
               im=(0, 0), nchains=1, chunk_size=64, dtype=jnp.float32,
-              verbose=True):
+              verbose=True, write_files=True):
     """Reference-compatible chain factory (inversion/hmc.py:358-403).
 
     ``nchains`` extends the reference: instead of one chain per MPI rank,
@@ -343,6 +366,7 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
     chain.chunk_size = chunk_size
     chain.dtype = dtype
     chain.verbose = verbose
+    chain.write_files = write_files
 
     boundaries = np.asarray(boundaries, dtype=np.float64)
     wdiag = np.asarray(model.wdiag)

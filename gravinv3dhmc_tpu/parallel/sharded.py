@@ -1,0 +1,143 @@
+"""Multi-chip sharded HMC: chains x model-column partitioning.
+
+The reference's only parallelism is embarrassingly-parallel MPI ranks that
+each rebuild the full kernel matrix (reference: run_main.sh:18,
+example/uniformgrid/main_uniform.py:19-22, zero collectives anywhere).
+Here the two scale axes map onto a 2-D ``jax.sharding.Mesh``:
+
+* ``chains`` — data parallelism: each device group owns a slice of the
+  vmapped chain batch (replaces mpiexec ranks);
+* ``model`` — tensor parallelism: the dense sensitivity matrix ``Aw`` is
+  column-sharded, so each device holds A[:, local] and the predicted data
+  ``Aw @ mw`` is a partial sum combined by an XLA-inserted ``psum`` over
+  ICI. The transpose product ``Aw^T r`` needs no collective (rows of the
+  result live where the columns live).
+
+Everything is expressed with ``NamedSharding`` annotations on the kernel
+matrix and the chain state; GSPMD inserts the collectives. The kernel
+matrix is placed once (HBM-resident, the OOM'd reference global case is
+7200 x 72000 f32 = 2.1 GB, SURVEY.md §7 step 6).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..inversion import hmc as hmc_mod
+
+
+def make_mesh(n_devices=None, chains_axis=None, devices=None):
+    """Build a (chains, model) mesh over the available devices.
+
+    ``chains_axis`` defaults to the largest power-of-two divisor of
+    ``n_devices`` that is <= sqrt(n_devices), favouring model sharding for
+    memory relief.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.array(devices[:n_devices])
+    if chains_axis is None:
+        chains_axis = 1
+        while (n_devices % (chains_axis * 2) == 0
+               and chains_axis * 2 <= int(np.sqrt(n_devices))):
+            chains_axis *= 2
+    model_axis = n_devices // chains_axis
+    return Mesh(devices.reshape(chains_axis, model_axis),
+                ("chains", "model"))
+
+
+def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
+                           grav_fix=None, regularization="Damping",
+                           beta=0.01, dtype=jnp.float32):
+    """Sharded potential-energy closure.
+
+    ``Aw`` is placed with P(None, 'model') — column-sharded over ICI;
+    model-space vectors with P('model'); the chain batch enters as
+    P('chains', 'model'). The data residual is replicated (D is small).
+    Elementwise regularizers (Damping/MS) stay fully sharded; Smoothness/TV
+    would require a gather over 'model' and are left to the single-chip
+    path for now.
+    """
+    if regularization not in ("Damping", "MS"):
+        raise NotImplementedError(
+            "sharded potential supports elementwise regularizers "
+            "(Damping, MS); Smoothness/TV run on the single-chip path")
+    col = NamedSharding(mesh, P(None, "model"))
+    vec = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+    Aw = jax.device_put(jnp.asarray(Aw, dtype), col)
+    dobs = jax.device_put(jnp.asarray(dobs, dtype), rep)
+    aprior_mw = jax.device_put(jnp.asarray(aprior_mw, dtype), vec)
+    low_s = jax.device_put(jnp.asarray(low, dtype), vec)
+    high_s = jax.device_put(jnp.asarray(high, dtype), vec)
+    gfix = (jax.device_put(jnp.asarray(grav_fix, dtype), rep)
+            if grav_fix is not None else None)
+    dobs_c = dobs - jnp.mean(dobs)
+    beta = float(beta)
+
+    def potential_scalar(mw, alpha):
+        # (M,) sharded on 'model'; contraction over M -> psum over 'model'
+        dpre = Aw @ mw
+        dinv = dpre + gfix if gfix is not None else dpre
+        r = (dinv - jnp.mean(dinv)) - dobs_c
+        u_data = jnp.sum(r * r)
+        dm = mw - aprior_mw
+        if regularization == "Damping":
+            u_model = jnp.sum(dm * dm)
+        else:  # MS with unit weighting in mw-space handled by caller scaling
+            dm2 = dm * dm
+            u_model = jnp.sum(dm2 / (dm2 + beta))
+        return u_data + alpha * u_model, (dpre, u_data, u_model)
+
+    grad_fn = jax.value_and_grad(potential_scalar, has_aux=True)
+
+    def batched(x, alpha):
+        x = jnp.asarray(x, dtype)
+        alpha = jnp.asarray(alpha, dtype)
+        if x.ndim == 1:
+            (u, aux), g = grad_fn(x, alpha)
+            return u, g, aux
+        (u, aux), g = jax.vmap(lambda xi: grad_fn(xi, alpha))(x)
+        return u, g, aux
+
+    shardings = {"low": low_s, "high": high_s, "Aw": Aw}
+    return batched, shardings
+
+
+def make_sharded_chunk_sampler(mesh, potential_fn, *, low, high, M, nchains,
+                               nsamples, ndraws, wdiag_inv, data_size,
+                               dt=0.01, Lmin=5, Lmax=20, Sigma=0.001,
+                               constraint="mandatory", alpha=1.0,
+                               chunk_size=8, dtype=jnp.float32):
+    """The full sharded training step: one jitted chunk of HMC iterations.
+
+    Chain state is sharded P('chains', 'model'); the device-resident sample
+    buffer P('chains', None, 'model'). Returns (run_chunk, init_carry_fn).
+    """
+    run_chunk = hmc_mod.make_chunk_sampler(
+        potential_fn, dt=dt, Lmin=Lmin, Lmax=Lmax, Sigma=Sigma, low=low,
+        high=high, constraint=constraint, alpha=alpha,
+        chunk_size=chunk_size, nsamples=nsamples, ndraws=ndraws,
+        wdiag_inv=wdiag_inv, data_size=data_size, dtype=dtype)
+
+    xsh = NamedSharding(mesh, P("chains", "model"))
+    csh = NamedSharding(mesh, P("chains"))
+    bufm_sh = NamedSharding(mesh, P("chains", None, "model"))
+    bufk_sh = NamedSharding(mesh, P("chains", None))
+
+    def init_carry(x0):
+        x = jax.device_put(jnp.asarray(x0, dtype), xsh)
+        U, g, (_, u_data, u_model) = potential_fn(x, alpha)
+        return (
+            x, U, g, u_data, u_model,
+            jax.device_put(jnp.zeros(nchains, jnp.int32), csh),
+            jax.device_put(jnp.zeros((nchains, nsamples, M), dtype), bufm_sh),
+            jax.device_put(jnp.zeros((nchains, nsamples, 7), dtype), bufk_sh),
+        )
+
+    return run_chunk, init_carry
