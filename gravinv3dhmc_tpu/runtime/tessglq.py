@@ -1,0 +1,61 @@
+"""ctypes bindings for the native tesseroid GLQ engine."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "native", "tessglq.cpp")
+_LIB_PATH = os.path.join(_HERE, "native", "libtessglq.so")
+_lock = threading.Lock()
+_lib = None
+
+FIELD_IDS = {
+    "potential": 0, "gx": 1, "gy": 2, "gz": 3,
+    "gxx": 4, "gxy": 5, "gxz": 6, "gyy": 7, "gyz": 8, "gzz": 9,
+}
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-std=c++17",
+           "-shared", "-fPIC", _SRC, "-o", _LIB_PATH]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.tessglq_kernel_matrix.restype = None
+        lib.tessglq_kernel_matrix.argtypes = [
+            ctypes.c_int, dptr, dptr, dptr, ctypes.c_int64,
+            dptr, ctypes.c_int64, ctypes.c_double, dptr]
+        lib.tessglq_num_threads.restype = ctypes.c_int
+        lib.tessglq_num_threads.argtypes = []
+        _lib = lib
+        return _lib
+
+
+def kernel_matrix(field, lon, lat, height, cells, ratio):
+    """(D, M) unscaled kernel matrix via the native adaptive GLQ engine."""
+    lib = get_lib()
+    lon = np.ascontiguousarray(lon, dtype=np.float64)
+    lat = np.ascontiguousarray(lat, dtype=np.float64)
+    height = np.ascontiguousarray(height, dtype=np.float64)
+    cells = np.ascontiguousarray(cells, dtype=np.float64)
+    D = lon.size
+    M = cells.shape[0]
+    out = np.empty((D, M), dtype=np.float64)
+    lib.tessglq_kernel_matrix(FIELD_IDS[field], lon, lat, height, D,
+                              cells, M, float(ratio), out)
+    return out

@@ -1,0 +1,119 @@
+"""Tesseroid forward-operator tests.
+
+Anchors (SURVEY.md §4): the analytic spherical-shell field, Laplace's
+equation, native-vs-numpy backend agreement, and the GravMagModule
+spherical path.
+"""
+import numpy as np
+import pytest
+
+from gravinv3dhmc_tpu import constants, mesher
+from gravinv3dhmc_tpu.ops import tesseroid as tess
+
+R = constants.MEAN_EARTH_RADIUS
+
+
+def shell_cells(top=-10e3, bottom=-20e3, dlat=30, dlon=30):
+    cells = []
+    for s in range(-90, 90, dlat):
+        for w in range(-180, 180, dlon):
+            cells.append([w, w + dlon, s, s + dlat, top, bottom])
+    return np.array(cells, dtype=float)
+
+
+class TestShellAnalytic:
+    def test_gz_matches_shell(self):
+        cells = shell_cells()
+        h = 260e3
+        lon = np.array([12.0])
+        lat = np.array([43.0])
+        height = np.array([h])
+        res, k = tess.gz(lon, lat, height, cells, dens=1.0)
+        vol = 4 / 3 * np.pi * ((R - 10e3) ** 3 - (R - 20e3) ** 3)
+        analytic = constants.G * constants.SI2MGAL * vol / (R + h) ** 2
+        assert res[0] == pytest.approx(analytic, rel=1e-3)
+        assert k.sum(axis=1)[0] == pytest.approx(analytic, rel=1e-3)
+
+    def test_potential_matches_shell(self):
+        cells = shell_cells()
+        h = 500e3
+        res, _ = tess.potential(np.array([0.0]), np.array([0.0]),
+                                np.array([h]), cells, dens=1.0)
+        vol = 4 / 3 * np.pi * ((R - 10e3) ** 3 - (R - 20e3) ** 3)
+        analytic = constants.G * vol / (R + h)
+        assert res[0] == pytest.approx(analytic, rel=1e-3)
+
+    def test_horizontal_components_vanish_on_shell(self):
+        cells = shell_cells()
+        for f in (tess.gx, tess.gy):
+            res, _ = f(np.array([20.0]), np.array([-35.0]),
+                       np.array([3e5]), cells, dens=1.0)
+            gz_res, _ = tess.gz(np.array([20.0]), np.array([-35.0]),
+                                np.array([3e5]), cells, dens=1.0)
+            assert abs(res[0]) < 2e-3 * abs(gz_res[0])
+
+    def test_laplace_tensor_trace(self):
+        cells = shell_cells()
+        tr = 0.0
+        for f in (tess.gxx, tess.gyy, tess.gzz):
+            res, _ = f(np.array([12.0]), np.array([43.0]), np.array([2.6e5]),
+                       cells, dens=1.0)
+            tr += res[0]
+        gzz_res, _ = tess.gzz(np.array([12.0]), np.array([43.0]),
+                              np.array([2.6e5]), cells, dens=1.0)
+        assert abs(tr) < 1e-8 * abs(gzz_res[0])
+
+
+class TestBackends:
+    def test_native_matches_numpy(self):
+        cells = np.array([[0, 2, 0, 2, -1000, -5000],
+                          [10, 12, 40, 42, 0, -3000],
+                          [-30, -28, -10, -8, 500, -10000]], dtype=float)
+        lon = np.array([1.0, 11.0, 45.0, -29.0])
+        lat = np.array([1.0, 41.0, -20.0, -9.0])
+        h = np.array([5e4, 1e4, 2e5, 8e3])
+        for field in ("potential", "gx", "gy", "gz", "gxx", "gxy", "gxz",
+                      "gyy", "gyz", "gzz"):
+            kn = tess.tesseroid_kernel_matrix(field, lon, lat, h, cells,
+                                              backend="numpy")
+            try:
+                kc = tess.tesseroid_kernel_matrix(field, lon, lat, h, cells,
+                                                  backend="native")
+            except Exception:
+                pytest.skip("native tessglq unavailable")
+            denom = np.abs(kn).max()
+            # identical leaves, different summation order: f64 round-off
+            assert np.abs(kc - kn).max() < 1e-6 * denom
+
+    def test_degenerate_cells_warn_and_skip(self):
+        cells = np.array([[0, 2, 0, 2, -1000, -5000],
+                          [5, 5 + 1e-8, 0, 2, -1000, -5000]], dtype=float)
+        with pytest.warns(RuntimeWarning):
+            k = tess.tesseroid_kernel_matrix(
+                "gz", np.array([1.0]), np.array([1.0]), np.array([1e4]),
+                cells, backend="numpy")
+        assert k.shape == (1, 1)
+
+
+class TestSphericalModule:
+    def test_gravmag_module_spherical(self):
+        import jax.numpy as jnp
+        from gravinv3dhmc_tpu.inversion.potential import GravMagModule
+        # small global-style mesh
+        bounds = (-180, 180, -90, 90, 0, -600000)
+        spacing = (-300000, 30, 30)
+        mesh = mesher.TesseroidMesh(bounds, spacing)
+        rho = np.zeros(mesh.size)
+        rho[::7] = 0.3
+        mesh.addprop("density", rho)
+        lon, lat = np.meshgrid(np.linspace(-150, 150, 6),
+                               np.linspace(-60, 60, 6))
+        lon, lat = lon.ravel(), lat.ravel()
+        height = np.full(lon.size, 260e3)
+        dobs, _ = tess.gz(lon, lat, height, mesh)
+        module = GravMagModule(dobs, bounds, spacing, (lon, lat, height),
+                               coordinate="spherical", field="gravity",
+                               dtype=jnp.float64, verbose=False)
+        assert module.A.shape == (36, mesh.size)
+        # forward through the module kernel reproduces dobs
+        np.testing.assert_allclose(module.A @ rho, dobs, rtol=1e-10)
