@@ -1,0 +1,174 @@
+"""Unified example CLI: every reference workload behind one entry point.
+
+    python examples/run.py uniformgrid [--nsamples 500 ...]
+    python examples/run.py segmentgrid | ratiogrid | global | realdata
+    python examples/run.py cg --model model03_twodykes
+    python examples/run.py bootstrap
+
+Replaces the per-workload ``main_*.py`` + ``run_main.sh`` + ``SetPMTS.txt``
+pattern of the reference (reference: example/*/); ``--config`` still
+accepts a reference-format SetPMTS.txt line index for parity.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import workloads as W
+
+
+def cmd_hmc(args, builder, **defaults):
+    wl = builder()
+    dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise)
+    params = dict(nsamples=args.nsamples, ndraws=args.ndraws,
+                  nchains=args.nchains, delta=args.delta,
+                  Lrange=tuple(args.Lrange), Sigma=args.Sigma,
+                  RegulFactor=args.RegulFactor,
+                  regularization=args.regularization, beta=args.beta,
+                  wavelet=args.wavelet, chunk_size=args.chunk_size,
+                  save_folder=args.save_folder, verbose=not args.quiet)
+    params.update(defaults)
+    module, stats, mean, std, out = W.run_hmc(wl, dobs, **params)
+    out["workload"] = args.workload
+    out["problem"] = [int(dobs.size), int(module.n_active)]
+    print(json.dumps(out))
+
+
+def cmd_global(args):
+    wl = W.global_tess(scale=args.scale)
+    dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise)
+    module, stats, mean, std, out = W.run_hmc(
+        wl, dobs, nsamples=args.nsamples, nchains=args.nchains,
+        delta=0.005, Lrange=(5, 20), Sigma=0.001, RegulFactor=0.05,
+        regularization="Damping", beta=0.01, chunk_size=args.chunk_size,
+        save_folder=args.save_folder, verbose=not args.quiet)
+    out["workload"] = f"global(scale={args.scale})"
+    out["problem"] = [int(dobs.size), int(module.n_active)]
+    print(json.dumps(out))
+
+
+def cmd_realdata(args):
+    from gravinv3dhmc_tpu import utils
+    from gravinv3dhmc_tpu.inversion import hmc
+    from gravinv3dhmc_tpu.inversion.potential import GravMagModule
+    import numpy as np
+
+    rd = W.realdata_southchina()
+    lons, lats, heights = rd["obs"]
+    dobs = rd["dobs"]
+    module = GravMagModule(
+        dobs, rd["mrange"], rd["mspacing"], rd["obs"], fixed=True,
+        grav_fix=rd["grav_sea"], mseg=True,
+        mdivisionsection=rd["division"], coordinate="spherical",
+        field="gravity", wavelet=False, verbose=not args.quiet,
+        mtopo=rd["topo"])
+    M = module.n_active
+    if rd["aprior_mesh"] is not None:
+        aprior = utils.rho2carve(rd["aprior_mesh"], module.mask)
+    else:
+        aprior = np.full(M, 0.001)
+    initial = np.full(M, 0.01)
+    initial = utils.rho2carve(np.full(module.mesh.size, 0.01), module.mask)
+    boundaries = np.stack([np.full(M, rd["rhomin"]),
+                           np.full(M, rd["rhomax"])], axis=1)
+    stats = hmc.HMCSample(
+        module, args.nsamples, args.ndraws, args.delta, list(args.Lrange),
+        initial, aprior, boundaries, "mandatory", 1000.0, dobs,
+        RegulFactor=args.RegulFactor, regularization="Damping",
+        beta=args.beta, seed=100, Sigma=args.Sigma,
+        save_folder=args.save_folder or "result/SC_chain",
+        nchains=args.nchains, chunk_size=args.chunk_size,
+        verbose=not args.quiet, write_files=args.save_folder is not None)
+    from gravinv3dhmc_tpu import diagnostics
+    chains = np.stack([stats["samples"][c, : int(stats["n_stored"][c])]
+                       for c in range(args.nchains)])
+    mean, std = diagnostics.posterior_stats(chains)
+    out = diagnostics.summarize(chains, dobs=dobs, dpre=module.A @ mean)
+    out.update(workload="realdata_southchina",
+               problem=[int(dobs.size), int(M)],
+               total_s=stats["elapsed_s"],
+               grad_evals_per_s=stats["grad_evals_per_s"],
+               accept_ratio=stats["accept_ratio"])
+    print(json.dumps(out))
+
+
+def cmd_cg(args):
+    wl = W.cg_model(args.model)
+    dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise)
+    inv3d, model_inv, data_inv, out = W.run_cg(
+        wl, dobs, regularization=args.regularization, beta=args.beta,
+        q=0.7, maxk=args.maxk, verbose=not args.quiet)
+    out["workload"] = f"CG:{args.model}"
+    print(json.dumps(out))
+
+
+def cmd_bootstrap(args):
+    from gravinv3dhmc_tpu.inversion.reginv import BootStrap
+    wl = W.uniformgrid()
+    dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise)
+    bs = BootStrap(wl["mrange"], wl["mspacing"], wl["obs"], dobs,
+                   (wl["rhomin"], wl["rhomax"]), samples=args.samples,
+                   beta=0.01, maxk=args.maxk, verbose=not args.quiet)
+    models, d_h, m_h, r_h = bs.BSCG(np.zeros(bs.msize))
+    mean = models.mean(axis=0)
+    std = models.std(axis=0)
+    out = {
+        "workload": "bootstrap",
+        "samples": args.samples,
+        "mean_model_max": float(mean.max()),
+        "std_model_max": float(std.max()),
+        "RMSM": float(np.sqrt(np.mean((mean - wl["rho"]) ** 2))),
+    }
+    print(json.dumps(out))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workload",
+                    choices=["uniformgrid", "segmentgrid", "ratiogrid",
+                             "global", "realdata", "cg", "bootstrap"])
+    ap.add_argument("--nsamples", type=int, default=500)
+    ap.add_argument("--ndraws", type=int, default=0)
+    ap.add_argument("--nchains", type=int, default=2)
+    ap.add_argument("--chunk-size", type=int, dest="chunk_size", default=64)
+    ap.add_argument("--delta", type=float, default=0.01)
+    ap.add_argument("--Lrange", type=int, nargs=2, default=[5, 20])
+    ap.add_argument("--Sigma", type=float, default=0.001)
+    ap.add_argument("--RegulFactor", type=float, default=1.0)
+    ap.add_argument("--regularization", default="MS")
+    ap.add_argument("--beta", type=float, default=0.001)
+    ap.add_argument("--wavelet", default=False,
+                    type=lambda s: s if s else False)
+    ap.add_argument("--save-folder", dest="save_folder", default=None)
+    ap.add_argument("--seed-noise", dest="seed_noise", type=int, default=1)
+    ap.add_argument("--scale", type=float, default=0.25,
+                    help="global mesh scale (1.0 = full 72000 cells)")
+    ap.add_argument("--model", default="model03_twodykes")
+    ap.add_argument("--maxk", type=int, default=200)
+    ap.add_argument("--samples", type=int, default=20)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args()
+
+    if args.workload == "uniformgrid":
+        cmd_hmc(args, W.uniformgrid)
+    elif args.workload == "segmentgrid":
+        cmd_hmc(args, W.segmentgrid)
+    elif args.workload == "ratiogrid":
+        cmd_hmc(args, W.ratiogrid)
+    elif args.workload == "global":
+        cmd_global(args)
+    elif args.workload == "realdata":
+        cmd_realdata(args)
+    elif args.workload == "cg":
+        cmd_cg(args)
+    elif args.workload == "bootstrap":
+        cmd_bootstrap(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+"""Workload library: the reference's seven example configurations.
+
+Each builder returns (mrange, mspacing, mesh_kwargs, truth_rho, obs) with
+the exact geometry and anomalous bodies of the corresponding reference
+example (file citations inline); the shared runners drive HMC or CG
+inversion and posterior statistics on top of them.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from gravinv3dhmc_tpu import diagnostics, mesher, utils
+from gravinv3dhmc_tpu.inversion import hmc
+from gravinv3dhmc_tpu.inversion.potential import GravMagModule
+from gravinv3dhmc_tpu.inversion.reginv import BootStrap, ConjugateGradient
+from gravinv3dhmc_tpu.ops import prism
+from gravinv3dhmc_tpu.ops import tesseroid as tess
+
+REFERENCE_DATA = "/root/reference/example/realdata"
+
+
+def _box(rho3, iz, iy, ix, value):
+    rho3[iz[0]: iz[1] + 1, iy[0]: iy[1] + 1, ix[0]: ix[1] + 1] = value
+
+
+# ---------------------------------------------------------------------------
+# Cartesian synthetic workloads
+# ---------------------------------------------------------------------------
+
+def uniformgrid():
+    """Single cube, 20x30x10 uniform mesh
+    (reference: example/uniformgrid/model01_singlecube.py:24-40)."""
+    nx, ny, nz = 20, 30, 10
+    d = 100
+    mrange = (0, nx * d, 0, ny * d, 0, nz * d)
+    mesh = mesher.PrismMesh(mrange, (d, d, d))
+    rho3 = np.zeros(mesh.shape)
+    _box(rho3, (2, 4), (10, 17), (7, 10), 1.0)
+    rho = rho3.ravel()
+    mesh.addprop("density", rho)
+    xo, yo, zo = utils.regular(mrange[:4], (nx, ny), z=0.0)
+    return dict(mrange=mrange, mspacing=(d, d, d), mesh=mesh, rho=rho,
+                obs=(xo, yo, zo), mesh_kwargs={}, rhomin=0.0, rhomax=1.0)
+
+
+def segmentgrid():
+    """Single cube on a segmented-depth mesh
+    (reference: example/segmentgrid/model_seg.py:25-45)."""
+    nx, ny = 20, 30
+    d = 100
+    mrange = (0, 2000, 0, 3000, 0, 2100)
+    division = [0, 300, 900, 2100]
+    spacing = ([100, 200, 300], d, d)
+    mesh = mesher.PrismMeshSegment(mrange, spacing, division)
+    rho3 = np.zeros(mesh.shape)
+    _box(rho3, (2, 4), (10, 17), (7, 10), 1.0)
+    rho = rho3.ravel()
+    mesh.addprop("density", rho)
+    xo, yo, zo = utils.regular(mrange[:4], (nx, ny), z=0.0)
+    return dict(mrange=mrange, mspacing=spacing, mesh=mesh, rho=rho,
+                obs=(xo, yo, zo),
+                mesh_kwargs=dict(mseg=True, mdivisionsection=division),
+                rhomin=0.0, rhomax=1.0)
+
+
+def ratiogrid():
+    """Dyke complex on a geometric-ratio mesh
+    (reference: example/ratiogrid/model_ratio.py:25-56, SetPMTS mratio=1.05)."""
+    d = 200
+    mrange = (0, 6000, 0, 6000, 0, 6000)
+    mesh = mesher.PrismMesh(mrange, (d, d, d), ratio=1.05)
+    nz, ny, nx = mesh.shape
+    rho3 = np.zeros(mesh.shape)
+    rho_density = 0.4
+    # left vertical dyke / three horizontal bars
+    _box(rho3, (2, min(15, nz - 1)), (10, 11), (5, 25), rho_density)
+    _box(rho3, (3, min(16, nz - 1)), (12, 21), (23, 25), rho_density)
+    _box(rho3, (5, min(9, nz - 1)), (12, 21), (14, 16), rho_density)
+    _box(rho3, (3, min(16, nz - 1)), (12, 21), (5, 7), rho_density)
+    rho = rho3.ravel()
+    mesh.addprop("density", rho)
+    xo, yo, zo = utils.regular(mrange[:4], (nx, ny), z=0.0)
+    return dict(mrange=mrange, mspacing=(d, d, d), mesh=mesh, rho=rho,
+                obs=(xo, yo, zo), mesh_kwargs=dict(mratio=1.05),
+                rhomin=0.0, rhomax=0.4)
+
+
+# ---------------------------------------------------------------------------
+# CG synthetic models (reference: example/CG/model0*.py)
+# ---------------------------------------------------------------------------
+
+def cg_model(name="model03_twodykes"):
+    if name == "model01_singlecube":
+        return uniformgrid()
+    d = 100
+    if name == "model02_twocubes":
+        nx, ny, nz = 20, 30, 10
+        mrange = (0, nx * d, 0, ny * d, 0, nz * d)
+        mesh = mesher.PrismMesh(mrange, (d, d, d))
+        rho3 = np.zeros(mesh.shape)
+        # reference model02 uses a rhomin=-1 cube and a rhomax=+1 cube
+        # (example/CG/model02_twocubes.py:47-53)
+        _box(rho3, (2, 4), (5, 11), (8, 12), -1.0)
+        _box(rho3, (3, 5), (18, 24), (8, 12), 1.0)
+        rhomin, rhomax = -1.0, 1.0
+    elif name == "model03_twodykes":
+        nx, ny, nz = 30, 40, 10
+        mrange = (0, nx * d, 0, ny * d, 0, nz * d)
+        mesh = mesher.PrismMesh(mrange, (d, d, d))
+        rho3 = np.zeros(mesh.shape)
+        # two dipping dykes (example/CG/model03_twodykes.py:51-57)
+        for iz in range(1, 4):
+            rho3[iz, iz + 8: iz + 11, 14:17] = 1.0
+        for iz in range(2, 8):
+            rho3[iz, -iz + 24: -iz + 33, 11:20] = 1.0
+        rhomin, rhomax = 0.0, 1.0
+    elif name == "model04_complex":
+        nx, ny, nz = 30, 40, 10
+        mrange = (0, nx * d, 0, ny * d, 0, nz * d)
+        mesh = mesher.PrismMesh(mrange, (d, d, d))
+        rho3 = np.zeros(mesh.shape)
+        # five bodies (example/CG/model04_complex.py:47-64)
+        _box(rho3, (2, 6), (24, 27), (7, 10), 1.0)
+        _box(rho3, (3, 5), (27, 31), (15, 20), 1.0)
+        _box(rho3, (2, 4), (10, 16), (5, 7), 1.0)
+        _box(rho3, (2, 4), (14, 16), (7, 15), 1.0)
+        _box(rho3, (2, 6), (9, 19), (21, 24), 1.0)
+        rhomin, rhomax = 0.0, 1.0
+    else:
+        raise ValueError(f"unknown CG model {name}")
+    rho = rho3.ravel()
+    mesh.addprop("density", rho)
+    xo, yo, zo = utils.regular(mrange[:4], (nx, ny), z=0.0)
+    return dict(mrange=mrange, mspacing=(d, d, d), mesh=mesh, rho=rho,
+                obs=(xo, yo, zo), mesh_kwargs={}, rhomin=rhomin,
+                rhomax=rhomax)
+
+
+# ---------------------------------------------------------------------------
+# Spherical workloads
+# ---------------------------------------------------------------------------
+
+def global_tess(scale=1.0):
+    """Whole-Earth tesseroid inversion — the workload that OOM-killed the
+    reference (reference: example/global/model_global.py:47-82,
+    example/global/logout_T1.txt). ``scale`` < 1 coarsens the mesh for
+    quick runs; scale=1 is the full 120x60x10 = 72000-cell problem.
+    """
+    dlon = dlat = 3 / scale
+    nlon, nlat, nr = int(120 * scale), int(60 * scale), 10
+    dr = -300000
+    mrange = (-180, 180, -90, 90, 0, nr * dr)
+    mesh = mesher.TesseroidMesh(mrange, (dr, dlat, dlon))
+    assert mesh.shape == (nr, nlat, nlon)
+    rho3 = np.zeros(mesh.shape)
+
+    def sbox(iz, iy, ix, value):
+        s = scale
+        rho3[iz[0]: iz[1] + 1,
+             int(iy[0] * s): int(iy[1] * s) + 1,
+             int(ix[0] * s): int(ix[1] * s) + 1] = value
+
+    sbox((2, 6), (25, 40), (25, 40), 0.8)
+    sbox((2, 6), (10, 20), (60, 70), 0.4)
+    sbox((2, 5), (45, 50), (60, 90), 0.6)
+    sbox((2, 4), (30, 35), (70, 80), 0.5)
+    sbox((2, 4), (25, 30), (90, 100), 0.5)
+    rho = rho3.ravel()
+    mesh.addprop("density", rho)
+    lons, lats, heights = utils.regular((-180, 180, -90, 90),
+                                        (nlon + 1, nlat + 1), z=5000.0)
+    return dict(mrange=mrange, mspacing=(dr, dlat, dlon), mesh=mesh,
+                rho=rho, obs=(lons, lats, heights),
+                mesh_kwargs=dict(coordinate="spherical"),
+                rhomin=0.0, rhomax=0.8)
+
+
+def realdata_southchina():
+    """South China real-data case: spherical + segmented + topography +
+    frozen water cells + prior model
+    (reference: example/realdata/main_real.py:21-75). Loads the published
+    observation files from the reference tree when present; otherwise
+    synthesises a comparable dataset."""
+    mrange = (106.5, 118.5, 16, 28, 2000, -60000)
+    division = [2000, -5000, -15000, -60000]
+    spacing = ([-1000, -2000, -5000], 0.5, 0.5)
+    data_dir = os.path.join(REFERENCE_DATA, "data")
+    if os.path.isdir(data_dir):
+        lons, lats, heights, dobs = np.loadtxt(
+            os.path.join(data_dir, "gravinv_12d05d.dat"),
+            usecols=[0, 1, 2, 3], unpack=True)
+        grav_sea = np.loadtxt(os.path.join(data_dir, "grasea_12d05d.dat"),
+                              usecols=[2], unpack=True)
+        lons_t, lats_t, topo = np.loadtxt(
+            os.path.join(data_dir, "topo_12d05d.dat"),
+            usecols=[0, 1, 2], unpack=True)
+        aprior_mesh = np.loadtxt(
+            os.path.join(data_dir, "SC_ApriorModel.txt"),
+            usecols=[3], unpack=True)
+    else:
+        # synthetic stand-in with the same geometry
+        lons, lats = np.meshgrid(np.arange(106.75, 118.5, 0.5),
+                                 np.arange(16.25, 28.0, 0.5))
+        lons, lats = lons.ravel(), lats.ravel()
+        heights = np.full(lons.size, 0.0)
+        rng = np.random.RandomState(0)
+        dobs = rng.normal(0, 20, lons.size)
+        grav_sea = np.zeros(lons.size)
+        lons_t, lats_t, topo = lons, lats, rng.uniform(-2000, 2000,
+                                                       lons.size)
+        aprior_mesh = None
+    return dict(mrange=mrange, mspacing=spacing,
+                division=division, obs=(lons, lats, heights), dobs=dobs,
+                grav_sea=grav_sea, topo=(lons_t, lats_t, topo),
+                aprior_mesh=aprior_mesh, rhomin=-0.5, rhomax=0.5)
+
+
+# ---------------------------------------------------------------------------
+# shared runners
+# ---------------------------------------------------------------------------
+
+def forward_with_noise(wl, noise=0.02, seed=1):
+    xo, yo, zo = wl["obs"]
+    if wl.get("mesh_kwargs", {}).get("coordinate") == "spherical":
+        dpre, _ = tess.gz(xo, yo, zo, wl["mesh"])
+    else:
+        dpre, _ = prism.gz(xo, yo, zo, wl["mesh"])
+    dobs = utils.contaminate(dpre, noise * np.abs(dpre).max(), seed=seed)
+    return dpre, dobs
+
+
+def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
+            Lrange=(5, 20), Sigma=0.001, RegulFactor=1.0,
+            regularization="MS", beta=0.001, wavelet=False, chunk_size=64,
+            save_folder=None, seed=100, verbose=True):
+    """Shared HMC driver (reference: example/*/main_*.py pattern)."""
+    mesh_kwargs = dict(wl.get("mesh_kwargs", {}))
+    t0 = time.time()
+    module = GravMagModule(dobs, wl["mrange"], wl["mspacing"], wl["obs"],
+                           wavelet=wavelet, verbose=verbose, **mesh_kwargs)
+    M = module.n_active
+    initial = np.full(M, 0.001)
+    aprior = np.full(M, 0.001)
+    boundaries = np.stack([np.full(M, wl["rhomin"]),
+                           np.full(M, wl["rhomax"])], axis=1)
+    stats = hmc.HMCSample(
+        module, nsamples, ndraws, delta, list(Lrange), initial, aprior,
+        boundaries, "mandatory", 1000.0, dobs, RegulFactor=RegulFactor,
+        regularization=regularization, beta=beta, seed=seed, Sigma=Sigma,
+        save_folder=save_folder or "result/chain", nchains=nchains,
+        chunk_size=chunk_size, verbose=verbose,
+        write_files=save_folder is not None)
+    total = time.time() - t0
+    chains = np.stack([stats["samples"][c, : int(stats["n_stored"][c])]
+                       for c in range(nchains)])
+    mean, std = diagnostics.posterior_stats(chains)
+    dpre_mean = module.A @ mean
+    out = diagnostics.summarize(chains, dobs=dobs, dpre=dpre_mean,
+                                truth=wl.get("rho"), post_mean=mean)
+    out.update(total_s=total, sampling_s=stats["elapsed_s"],
+               grad_evals_per_s=stats["grad_evals_per_s"],
+               accept_ratio=stats["accept_ratio"])
+    return module, stats, mean, std, out
+
+
+def run_cg(wl, dobs, regularization="MS", beta=0.001, q=0.7, maxk=200,
+           wavelet=False, verbose=True):
+    """Shared CG driver (reference: example/CG/main_prism_CG.py:40-76)."""
+    inv3d = ConjugateGradient(dobs, wl["mrange"], wl["mspacing"], wl["obs"],
+                              wavelet=wavelet, verbose=verbose,
+                              **{k: v for k, v in
+                                 wl.get("mesh_kwargs", {}).items()})
+    M = inv3d.msize
+    model_inv, data_inv, d_h, m_h, r_h = inv3d.CG(
+        np.zeros(M), np.zeros(M), (wl["rhomin"], wl["rhomax"]),
+        regularization=regularization, beta=beta, q=q, maxk=maxk)
+    out = {
+        "iterations": len(d_h),
+        "final_data_misfit": float(d_h[-1]),
+        "RMSD": diagnostics.rmsd(dobs, data_inv),
+    }
+    if "rho" in wl:
+        out["RMSM"] = diagnostics.rmsm(model_inv, wl["rho"])
+        out["corr"] = float(np.corrcoef(model_inv, wl["rho"])[0, 1])
+    return inv3d, model_inv, data_inv, out
