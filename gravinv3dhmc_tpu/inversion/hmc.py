@@ -81,9 +81,17 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     mandatory = constraint == "mandatory"
     logarithmic = constraint == "logarithmic"
     total = nsamples + ndraws
+    # Potential objects expose (fn, params): large arrays are threaded as
+    # jit arguments rather than captured constants
+    if hasattr(potential_fn, "fn"):
+        pot_raw = potential_fn.fn
+    else:
+        pot_raw = lambda x, a, _p: potential_fn(x, a)
 
-    def one_iteration(carry, key):
+    def one_iteration(carry, key_P):
+        key, P = key_P
         x, U, g, u_data, u_model, nacc, buf_m, buf_k = carry
+        potential_fn = lambda xx, aa: pot_raw(xx, aa, P)
         C = x.shape[0]
         kL, kp, ku = random.split(key, 3)
         L = random.randint(kL, (C,), Lmin, Lmax + 1)  # per-chain length
@@ -162,12 +170,13 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
 
     @jax.jit
-    def run_chunk(carry, base_key, chunk_idx):
+    def run_chunk(carry, base_key, chunk_idx, params):
         # key derivation inside jit: one dispatch per chunk, no eager
         # random.split round-trips over a high-latency device link
         key = random.fold_in(base_key, chunk_idx)
         keys = random.split(key, chunk_size)
-        carry, stats = lax.scan(one_iteration, carry, keys)
+        carry, stats = lax.scan(
+            lambda c, k: one_iteration(c, (k, params)), carry, keys)
         return carry, stats
 
     return run_chunk
@@ -257,6 +266,7 @@ class HamiltonianMC:
 
         x = jnp.asarray(x0, dtype)
         U, g, (_, u_data, u_model) = potential_fn(x, self.RegulFactor)
+        pot_params = getattr(potential_fn, "params", None)
         base_key = random.fold_in(random.PRNGKey(self.seed), self.myrank)
         carry = (x, U, g, u_data, u_model,
                  jnp.zeros(C, jnp.int32),
@@ -278,7 +288,8 @@ class HamiltonianMC:
                 print(f"WARNING: stopping after {n_chunks} chunks with "
                       f"accepted counts {accepted.tolist()}")
                 break
-            carry, stats_d = run_chunk(carry, base_key, n_chunks)
+            carry, stats_d = run_chunk(carry, base_key, n_chunks,
+                                       pot_params)
             # tiny transfers only: counters + (chunk, C, 5) stats
             accepted = np.asarray(carry[5]).astype(np.int64)
             stats_h = np.asarray(stats_d)

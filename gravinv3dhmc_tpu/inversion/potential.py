@@ -52,8 +52,14 @@ def logistic_to_mw(x, low, high, log_factor, xp=jnp):
     """x -> mw under the 'logarithmic' boundary constraint
     (reference: inversion/potential.py:596-601). Written in the
     numerically stable sigmoid form of the reference's
-    (low + high*e^{kx}) / (1 + e^{kx})."""
-    s = 1.0 / (1.0 + xp.exp(-log_factor * x))
+    (low + high*e^{kx}) / (1 + e^{kx}); for jax the custom-JVP sigmoid
+    keeps gradients finite deep in the saturated tails."""
+    if xp is jnp:
+        s = jax.nn.sigmoid(log_factor * x)
+    else:
+        t = log_factor * np.asarray(x)
+        s = np.where(t >= 0, 1.0 / (1.0 + np.exp(-np.abs(t))),
+                     np.exp(-np.abs(t)) / (1.0 + np.exp(-np.abs(t))))
     return low + (high - low) * s
 
 
@@ -74,6 +80,25 @@ def sensitivity_weighting(A, weightfactor=0.5):
     wdiag_inv = np.where(wdiag == 0, 0.0, 1.0 / np.where(wdiag == 0, 1.0, wdiag))
     Aw = A * wdiag_inv[None, :]
     return Aw, wdiag, wdiag_inv
+
+
+class Potential:
+    """Potential energy callable with explicit device parameters.
+
+    ``fn(x, alpha, params) -> (U, grad, (dpre, U_data, U_model))`` is pure;
+    ``params`` is a pytree of (large) device arrays threaded through every
+    jit boundary as arguments, so the kernel matrix is never baked into an
+    executable as a captured constant. Calling the object directly uses an
+    internally cached jit of ``fn``.
+    """
+
+    def __init__(self, fn, params):
+        self.fn = fn
+        self.params = params
+        self._jitted = jax.jit(fn)
+
+    def __call__(self, x, alpha):
+        return self._jitted(x, alpha, self.params)
 
 
 class GravMagModule:
@@ -276,80 +301,84 @@ class GravMagModule:
         use_wavelet = self.wavelet if use_wavelet is None else use_wavelet
         use_wavelet = use_wavelet if self.Awcp is not None else False
 
-        aprior_mw = jnp.asarray(aprior_mw, dtype=dtype)
-        low = jnp.asarray(low, dtype=dtype)
-        high = jnp.asarray(high, dtype=dtype)
-        dobs = arrs["dobs"]
-        dobs_centered = dobs - jnp.mean(dobs)
-        wm_sq = jnp.asarray(self.wdiag * self.wdiag, dtype=dtype)
-        active3d = (jnp.asarray(self._active3d) if self._active3d is not None
-                    else None)
+        # all large arrays travel through ``params`` as jit ARGUMENTS —
+        # closing over them would bake multi-GB constants into the
+        # executable (fatal for the 72000-cell global kernel on TPU)
+        params = {
+            "Aw": arrs["Aw"],
+            "dobs_centered": arrs["dobs"] - jnp.mean(arrs["dobs"]),
+            "aprior_mw": jnp.asarray(aprior_mw, dtype=dtype),
+            "low": jnp.asarray(low, dtype=dtype),
+            "high": jnp.asarray(high, dtype=dtype),
+            "wm_sq": jnp.asarray(self.wdiag * self.wdiag, dtype=dtype),
+            "grav_fix": arrs["grav_fix"],
+        }
+        if use_wavelet:
+            params["Awcp"] = arrs["Awcp"]
+        if self._active3d is not None:
+            params["active3d"] = jnp.asarray(self._active3d)
+            params["active_idx"] = jnp.asarray(
+                np.flatnonzero(self.mesh.active))
         mshape = self.mshape
-        Aw = arrs["Aw"]
-        grav_fix = arrs["grav_fix"]
-        Awcp = arrs.get("Awcp")
         model_transform = self._model_transform
         lf = float(log_factor)
         beta = float(beta)
+        has_fix = self.fixed
+        has_carve = self._active3d is not None
 
-        def data_term(mw):
+        def data_term(mw, P):
             if use_wavelet:
-                dpre = Awcp @ model_transform(mw)
+                dpre = P["Awcp"] @ model_transform(mw)
             else:
-                dpre = Aw @ mw
-            dinv = dpre + grav_fix if grav_fix is not None else dpre
-            r = (dinv - jnp.mean(dinv)) - dobs_centered
+                dpre = P["Aw"] @ mw
+            dinv = dpre + P["grav_fix"] if has_fix else dpre
+            r = (dinv - jnp.mean(dinv)) - P["dobs_centered"]
             return jnp.sum(r * r), dpre
 
-        if self._active3d is not None:
-            active_idx = jnp.asarray(np.flatnonzero(self.mesh.active))
-        else:
-            active_idx = None
-
-        def scatter_full(dm):
-            """Packed active-cell vector -> dense grid vector (carved
-            Smoothness/TV; the reference cannot regularise carved meshes
-            with fd3d at all)."""
-            if active_idx is None:
+        def scatter_full(dm, P):
+            # packed active-cell vector -> dense grid vector (carved
+            # Smoothness/TV; the reference cannot regularise carved
+            # meshes with fd3d at all)
+            if not has_carve:
                 return dm
             full = jnp.zeros(int(np.prod(mshape)), dtype=dm.dtype)
-            return full.at[active_idx].set(dm)
+            return full.at[P["active_idx"]].set(dm)
 
-        def model_term(mw):
-            dm = mw - aprior_mw
+        def model_term(mw, P):
+            dm = mw - P["aprior_mw"]
             if regularization == "MS":
                 dm2 = dm * dm
-                return jnp.sum(wm_sq * dm2 / (dm2 + beta))
+                return jnp.sum(P["wm_sq"] * dm2 / (dm2 + beta))
             if regularization == "Damping":
                 return jnp.sum(dm * dm)
+            act = P["active3d"] if has_carve else None
             if regularization == "Smoothness":
-                return fd.smoothness_value(scatter_full(dm), mshape, jnp,
-                                           active3d)
+                return fd.smoothness_value(scatter_full(dm, P), mshape, jnp,
+                                           act)
             # TV
-            return fd.tv_value(scatter_full(dm), mshape, beta, jnp, active3d)
+            return fd.tv_value(scatter_full(dm, P), mshape, beta, jnp, act)
 
-        def potential_scalar(x, alpha):
+        def potential_scalar(x, alpha, P):
             if constraint == "logarithmic":
-                mw = logistic_to_mw(x, low, high, lf)
+                mw = logistic_to_mw(x, P["low"], P["high"], lf)
             else:
                 mw = x
-            u_data, dpre = data_term(mw)
-            u_model = model_term(mw)
+            u_data, dpre = data_term(mw, P)
+            u_model = model_term(mw, P)
             return u_data + alpha * u_model, (dpre, u_data, u_model)
 
         grad_fn = jax.value_and_grad(potential_scalar, has_aux=True)
 
-        @jax.jit
-        def batched(x, alpha):
+        def fn(x, alpha, P):
             x = jnp.asarray(x, dtype=dtype)
             alpha = jnp.asarray(alpha, dtype=dtype)
             if x.ndim == 1:
-                (u, aux), g = grad_fn(x, alpha)
+                (u, aux), g = grad_fn(x, alpha, P)
                 return u, g, aux
-            (u, aux), g = jax.vmap(lambda xi: grad_fn(xi, alpha))(x)
+            (u, aux), g = jax.vmap(lambda xi: grad_fn(xi, alpha, P))(x)
             return u, g, aux
 
-        return batched
+        return Potential(fn, params)
 
     # --------------------------------------------- reference-compatible API
     def misfit_and_grad(self, x, mwapr, low, high, constraint, log_fator,

@@ -67,26 +67,31 @@ def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
         raise NotImplementedError(
             "sharded potential supports elementwise regularizers "
             "(Damping, MS); Smoothness/TV run on the single-chip path")
+    from ..inversion.potential import Potential
+
     col = NamedSharding(mesh, P(None, "model"))
     vec = NamedSharding(mesh, P("model"))
     rep = NamedSharding(mesh, P())
-    Aw = jax.device_put(jnp.asarray(Aw, dtype), col)
-    dobs = jax.device_put(jnp.asarray(dobs, dtype), rep)
-    aprior_mw = jax.device_put(jnp.asarray(aprior_mw, dtype), vec)
-    low_s = jax.device_put(jnp.asarray(low, dtype), vec)
-    high_s = jax.device_put(jnp.asarray(high, dtype), vec)
-    gfix = (jax.device_put(jnp.asarray(grav_fix, dtype), rep)
-            if grav_fix is not None else None)
-    dobs_c = dobs - jnp.mean(dobs)
+    dobs_d = jax.device_put(jnp.asarray(dobs, dtype), rep)
+    params = {
+        "Aw": jax.device_put(jnp.asarray(Aw, dtype), col),
+        "dobs_c": dobs_d - jnp.mean(dobs_d),
+        "aprior_mw": jax.device_put(jnp.asarray(aprior_mw, dtype), vec),
+        "low": jax.device_put(jnp.asarray(low, dtype), vec),
+        "high": jax.device_put(jnp.asarray(high, dtype), vec),
+        "gfix": (jax.device_put(jnp.asarray(grav_fix, dtype), rep)
+                 if grav_fix is not None else None),
+    }
+    has_fix = grav_fix is not None
     beta = float(beta)
 
-    def potential_scalar(mw, alpha):
+    def potential_scalar(mw, alpha, prm):
         # (M,) sharded on 'model'; contraction over M -> psum over 'model'
-        dpre = Aw @ mw
-        dinv = dpre + gfix if gfix is not None else dpre
-        r = (dinv - jnp.mean(dinv)) - dobs_c
+        dpre = prm["Aw"] @ mw
+        dinv = dpre + prm["gfix"] if has_fix else dpre
+        r = (dinv - jnp.mean(dinv)) - prm["dobs_c"]
         u_data = jnp.sum(r * r)
-        dm = mw - aprior_mw
+        dm = mw - prm["aprior_mw"]
         if regularization == "Damping":
             u_model = jnp.sum(dm * dm)
         else:  # MS with unit weighting in mw-space handled by caller scaling
@@ -96,17 +101,19 @@ def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
 
     grad_fn = jax.value_and_grad(potential_scalar, has_aux=True)
 
-    def batched(x, alpha):
+    def fn(x, alpha, prm):
         x = jnp.asarray(x, dtype)
         alpha = jnp.asarray(alpha, dtype)
         if x.ndim == 1:
-            (u, aux), g = grad_fn(x, alpha)
+            (u, aux), g = grad_fn(x, alpha, prm)
             return u, g, aux
-        (u, aux), g = jax.vmap(lambda xi: grad_fn(xi, alpha))(x)
+        (u, aux), g = jax.vmap(lambda xi: grad_fn(xi, alpha, prm))(x)
         return u, g, aux
 
-    shardings = {"low": low_s, "high": high_s, "Aw": Aw}
-    return batched, shardings
+    pot = Potential(fn, params)
+    shardings = {"low": params["low"], "high": params["high"],
+                 "Aw": params["Aw"]}
+    return pot, shardings
 
 
 def make_sharded_chunk_sampler(mesh, potential_fn, *, low, high, M, nchains,
