@@ -41,6 +41,7 @@ between iterations, saving one gradient evaluation per trajectory.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -228,9 +229,13 @@ class HamiltonianMC:
             from ..runtime.sink_py import PySampleSink
             return [PySampleSink(f) for f in folders]
 
-    def sample(self, nsamples, ndraws, max_chunks=None, callback=None):
+    def sample(self, nsamples, ndraws, max_chunks=None, callback=None,
+               checkpoint_path=None, checkpoint_every=20, resume=True):
         """Run until every chain has ``ndraws + nsamples`` accepted samples.
 
+        ``checkpoint_path`` snapshots the full sampler state every
+        ``checkpoint_every`` chunks and resumes from it when present
+        (exact continuation — chunk keys are derived from the chunk index).
         Returns a dict with posterior sample arrays, file paths and
         throughput stats.
         """
@@ -272,6 +277,19 @@ class HamiltonianMC:
                  jnp.zeros(C, jnp.int32),
                  jnp.zeros((C, nsamples, M), dtype),
                  jnp.zeros((C, nsamples, 7), dtype))
+        start_chunk = 0
+        ckpt_meta = {"nsamples": nsamples, "ndraws": ndraws, "nchains": C,
+                     "M": M, "seed": self.seed, "myrank": self.myrank}
+        if checkpoint_path and resume and os.path.exists(checkpoint_path):
+            from ..checkpoint import load_state
+            carry, start_chunk, base_key, meta = load_state(
+                checkpoint_path, like_carry=carry)
+            if meta != ckpt_meta:
+                raise ValueError(
+                    f"checkpoint config mismatch: {meta} != {ckpt_meta}")
+            if self.verbose:
+                print(f"resumed from {checkpoint_path} at chunk "
+                      f"{start_chunk}", flush=True)
 
         data_size = self.dobs.shape[0]
         model_size = M
@@ -281,8 +299,8 @@ class HamiltonianMC:
         if max_chunks is None:
             max_chunks = max(200, 100 * total // self.chunk_size + 10)
         t0 = time.time()
-        n_chunks = 0
-        accepted = np.zeros(C, dtype=np.int64)
+        n_chunks = start_chunk
+        accepted = np.asarray(carry[5]).astype(np.int64)
         while accepted.min() < total:
             if n_chunks >= max_chunks:
                 print(f"WARNING: stopping after {n_chunks} chunks with "
@@ -310,6 +328,14 @@ class HamiltonianMC:
                       flush=True)
             if callback is not None:
                 callback(accepted, carry[0])
+            if checkpoint_path and n_chunks % checkpoint_every == 0:
+                from ..checkpoint import save_state
+                save_state(checkpoint_path, carry, n_chunks, base_key,
+                           meta=ckpt_meta)
+        if checkpoint_path:
+            from ..checkpoint import save_state
+            save_state(checkpoint_path, carry, n_chunks, base_key,
+                       meta=ckpt_meta)
         elapsed = time.time() - t0
 
         # one bulk transfer of the posterior buffers
