@@ -81,13 +81,13 @@ def main():
     base_key = random.PRNGKey(0)
 
     # warmup (compile)
-    carry, stats = run_chunk(carry, base_key, 0)
+    carry, stats = run_chunk(carry, base_key, 0, potential_fn.params)
     jax.block_until_ready(carry[5])
 
     t0 = time.time()
     grad_evals = 0
     for i in range(1, n_timed_chunks + 1):
-        carry, stats = run_chunk(carry, base_key, i)
+        carry, stats = run_chunk(carry, base_key, i, potential_fn.params)
         grad_evals += int(np.asarray(stats[..., 4]).sum())
     jax.block_until_ready(carry[5])
     elapsed = time.time() - t0
