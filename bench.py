@@ -49,7 +49,7 @@ def build_problem():
 
 
 def main():
-    nchains = int(os.environ.get("BENCH_NCHAINS", "16"))
+    nchains = int(os.environ.get("BENCH_NCHAINS", "256"))
     chunk_size = int(os.environ.get("BENCH_CHUNK", "128"))
     n_timed_chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
 
@@ -64,7 +64,7 @@ def main():
         aprior, low, high, constraint="mandatory", regularization="MS",
         beta=0.001, dtype=jnp.float32)
 
-    nsamples = chunk_size * (n_timed_chunks + 1)
+    nsamples = int(os.environ.get("BENCH_NSAMPLES", "64"))
     run_chunk = hmc.make_chunk_sampler(
         potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
         high=high, constraint="mandatory", alpha=1.0, chunk_size=chunk_size,

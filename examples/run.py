@@ -46,7 +46,8 @@ def cmd_global(args):
         wl, dobs, nsamples=args.nsamples, nchains=args.nchains,
         delta=0.005, Lrange=(5, 20), Sigma=0.001, RegulFactor=0.05,
         regularization="Damping", beta=0.01, chunk_size=args.chunk_size,
-        save_folder=args.save_folder, verbose=not args.quiet)
+        save_folder=args.save_folder, verbose=not args.quiet,
+        kernel_cache=args.kernel_cache)
     out["workload"] = f"global(scale={args.scale})"
     out["problem"] = [int(dobs.size), int(module.n_active)]
     print(json.dumps(out))
@@ -151,6 +152,7 @@ def main():
     ap.add_argument("--model", default="model03_twodykes")
     ap.add_argument("--maxk", type=int, default=200)
     ap.add_argument("--samples", type=int, default=20)
+    ap.add_argument("--kernel-cache", dest="kernel_cache", default=None)
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 

@@ -238,12 +238,13 @@ def forward_with_noise(wl, noise=0.02, seed=1):
 def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             Lrange=(5, 20), Sigma=0.001, RegulFactor=1.0,
             regularization="MS", beta=0.001, wavelet=False, chunk_size=64,
-            save_folder=None, seed=100, verbose=True):
+            save_folder=None, seed=100, verbose=True, kernel_cache=None):
     """Shared HMC driver (reference: example/*/main_*.py pattern)."""
     mesh_kwargs = dict(wl.get("mesh_kwargs", {}))
     t0 = time.time()
     module = GravMagModule(dobs, wl["mrange"], wl["mspacing"], wl["obs"],
-                           wavelet=wavelet, verbose=verbose, **mesh_kwargs)
+                           wavelet=wavelet, verbose=verbose,
+                           kernel_cache=kernel_cache, **mesh_kwargs)
     M = module.n_active
     initial = np.full(M, 0.001)
     aprior = np.full(M, 0.001)

@@ -116,7 +116,7 @@ class GravMagModule:
                  weightfactor=0.5, coordinate="cartesian", njobs=1,
                  field="gravity", mangle=(90, 0), wavelet_mode=None,
                  wavelet=False, kernel_backend="numpy", dtype=jnp.float32,
-                 verbose=True, **kwargs):
+                 kernel_cache=None, verbose=True, **kwargs):
         self.dobs = np.asarray(dobs, dtype=np.float64)
         self.fixed = fixed
         self.grav_fix = np.asarray(grav_fix, dtype=np.float64) if fixed else None
@@ -182,6 +182,15 @@ class GravMagModule:
             print("Calculating {} field in {} coordinate.".format(field, coordinate))
             print("Start of calculate kernel")
         start = time.time()
+        # disk cache: the reference rebuilt the kernel once per MPI rank
+        # (SURVEY.md parallelism table); here one build serves every run
+        import os as _os
+        if kernel_cache and _os.path.exists(kernel_cache):
+            kernel = np.load(kernel_cache, mmap_mode=None)
+            if verbose:
+                print(f"loaded kernel from {kernel_cache}")
+            self._finish_init(kernel, weightfactor, verbose, start)
+            return
         if coordinate == "cartesian" and field == "gravity":
             mesh.addprop("density", np.zeros(mesh.size))
             kernel = prism.prism_kernel_matrix(
@@ -199,7 +208,14 @@ class GravMagModule:
                 "gz", self.lonobs, self.latobs, self.heightobs, mesh)
         if verbose:
             print("End of calculate kernel:%.6f s" % (time.time() - start))
+        if kernel_cache:
+            np.save(kernel_cache if kernel_cache.endswith(".npy")
+                    else kernel_cache + ".npy", kernel)
+            if kernel_cache and not kernel_cache.endswith(".npy"):
+                _os.replace(kernel_cache + ".npy", kernel_cache)
+        self._finish_init(kernel, weightfactor, verbose, start)
 
+    def _finish_init(self, kernel, weightfactor, verbose, start):
         # ----- weighting --------------------------------------------------
         if verbose:
             print("Start to weight kernel")
@@ -214,8 +230,8 @@ class GravMagModule:
         self.n_active = Aw.shape[1]
 
         # active-cell grid for carved Smoothness/TV
-        self._active3d = (mesh.active.reshape(mesh.shape)
-                          if not mesh.active.all() else None)
+        self._active3d = (self.mesh.active.reshape(self.mesh.shape)
+                          if not self.mesh.active.all() else None)
 
         # ----- wavelet compression ---------------------------------------
         self.Awcp = None

@@ -1,4 +1,4 @@
 """Visualization: matplotlib grid/mesh plotting."""
-from . import mpl
+from . import mpl, myv
 
-__all__ = ["mpl"]
+__all__ = ["mpl", "myv"]
