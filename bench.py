@@ -60,9 +60,11 @@ def main():
     low = wdiag * np.zeros(M)
     high = wdiag * np.ones(M)
 
+    matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE")
     potential_fn = module.make_potential(
         aprior, low, high, constraint="mandatory", regularization="MS",
-        beta=0.001, dtype=jnp.float32)
+        beta=0.001, dtype=jnp.float32,
+        matvec_dtype=jnp.dtype(matvec_dtype) if matvec_dtype else None)
 
     nsamples = int(os.environ.get("BENCH_NSAMPLES", "64"))
     run_chunk = hmc.make_chunk_sampler(

@@ -56,7 +56,7 @@ from .potential import logistic_to_mw, mw_to_logistic
 def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                        constraint, alpha, chunk_size, nsamples, ndraws,
                        wdiag_inv, data_size, log_factor=1000.0,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, shared_L=False):
     """Build the jitted chunk kernel with a device-resident sample buffer.
 
     ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
@@ -95,40 +95,71 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         potential_fn = lambda xx, aa: pot_raw(xx, aa, P)
         C = x.shape[0]
         kL, kp, ku = random.split(key, 3)
-        L = random.randint(kL, (C,), Lmin, Lmax + 1)  # per-chain length
         p0 = random.normal(kp, x.shape, dtype) * Sigma
         K0 = 0.5 * jnp.sum(p0 * p0, axis=-1)
         H0 = K0 + U
         # first half kick
         p = p0 - 0.5 * dt * g
 
-        def leapfrog_step(state, i):
-            x, p, U_l, g_l, ud_l, um_l = state
-            active = (i < L)[:, None]  # (C, 1)
-            x_new = x + dt * p
-            p_new = p
-            if mandatory:
-                over = x_new > high
-                under = x_new < low
-                x_new = jnp.clip(x_new, low, high)
-                p_new = jnp.where(over | under, -p_new, p_new)
-            U_new, g_new, (_, ud_new, um_new) = potential_fn(x_new, alpha_c)
-            # full kick inside the trajectory, half kick on the last step
-            last = (i == L - 1)[:, None]
-            kick = jnp.where(last, 0.5 * dt, dt)
-            p_new = p_new - kick * g_new
-            # masked update: steps beyond this chain's L pass through
-            x = jnp.where(active, x_new, x)
-            p = jnp.where(active, p_new, p)
-            U_l = jnp.where(active[:, 0], U_new, U_l)
-            ud_l = jnp.where(active[:, 0], ud_new, ud_l)
-            um_l = jnp.where(active[:, 0], um_new, um_l)
-            g_l = jnp.where(active, g_new, g_l)
-            return (x, p, U_l, g_l, ud_l, um_l), None
+        if shared_L:
+            # one trajectory length per iteration shared by all chains:
+            # exactly L device steps, no masked-step waste. Measured on
+            # TPU v5e this is NOT faster than the masked scan below (XLA
+            # pipelines a static-length scan better than a dynamic while),
+            # so the per-chain masked variant is the default; kept as an
+            # option for configurations where Lmax >> E[L].
+            L_scalar = random.randint(kL, (), Lmin, Lmax + 1)
+            L = jnp.full((C,), L_scalar)
 
-        state0 = (x, p, U, g, u_data, u_model)
-        (x_new, p_new, U_new, g_new, ud_new, um_new), _ = lax.scan(
-            leapfrog_step, state0, jnp.arange(Lmax))
+            def leapfrog_step(i, state):
+                x, p, U_l, g_l, ud_l, um_l = state
+                x = x + dt * p
+                if mandatory:
+                    over = x > high
+                    under = x < low
+                    x = jnp.clip(x, low, high)
+                    p = jnp.where(over | under, -p, p)
+                U_l, g_l, (_, ud_l, um_l) = potential_fn(x, alpha_c)
+                p = p - dt * g_l
+                return (x, p, U_l, g_l, ud_l, um_l)
+
+            state0 = (x, p, U, g, u_data, u_model)
+            (x_new, p_new, U_new, g_new, ud_new, um_new) = lax.fori_loop(
+                0, L_scalar, leapfrog_step, state0)
+            # the loop applies full kicks everywhere; restore the trailing
+            # half kick of the standard leapfrog
+            p_new = p_new + 0.5 * dt * g_new
+        else:
+            L = random.randint(kL, (C,), Lmin, Lmax + 1)  # per-chain length
+
+            def leapfrog_step(state, i):
+                x, p, U_l, g_l, ud_l, um_l = state
+                active = (i < L)[:, None]  # (C, 1)
+                x_new = x + dt * p
+                p_new = p
+                if mandatory:
+                    over = x_new > high
+                    under = x_new < low
+                    x_new = jnp.clip(x_new, low, high)
+                    p_new = jnp.where(over | under, -p_new, p_new)
+                U_new, g_new, (_, ud_new, um_new) = potential_fn(x_new,
+                                                                 alpha_c)
+                # full kick inside the trajectory, half kick on the last
+                last = (i == L - 1)[:, None]
+                kick = jnp.where(last, 0.5 * dt, dt)
+                p_new = p_new - kick * g_new
+                # masked update: steps beyond this chain's L pass through
+                x = jnp.where(active, x_new, x)
+                p = jnp.where(active, p_new, p)
+                U_l = jnp.where(active[:, 0], U_new, U_l)
+                ud_l = jnp.where(active[:, 0], ud_new, ud_l)
+                um_l = jnp.where(active[:, 0], um_new, um_l)
+                g_l = jnp.where(active, g_new, g_l)
+                return (x, p, U_l, g_l, ud_l, um_l), None
+
+            state0 = (x, p, U, g, u_data, u_model)
+            (x_new, p_new, U_new, g_new, ud_new, um_new), _ = lax.scan(
+                leapfrog_step, state0, jnp.arange(Lmax))
 
         K_new = 0.5 * jnp.sum(p_new * p_new, axis=-1)
         H_new = K_new + U_new

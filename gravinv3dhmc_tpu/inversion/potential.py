@@ -295,7 +295,8 @@ class GravMagModule:
     # ----------------------------------------------------- potential energy
     def make_potential(self, aprior_mw, low, high, constraint="mandatory",
                        log_factor=1000.0, regularization="Damping",
-                       beta=0.01, use_wavelet=None, dtype=None):
+                       beta=0.01, use_wavelet=None, dtype=None,
+                       matvec_dtype=None):
         """Return jittable ``U(x, alpha) -> (U, (dpre, U_data, U_model))``.
 
         ``x`` may be a single model (M,) or a chain batch (C, M) — all
@@ -321,7 +322,8 @@ class GravMagModule:
         # closing over them would bake multi-GB constants into the
         # executable (fatal for the 72000-cell global kernel on TPU)
         params = {
-            "Aw": arrs["Aw"],
+            "Aw": (arrs["Aw"].astype(matvec_dtype) if matvec_dtype
+                   else arrs["Aw"]),
             "dobs_centered": arrs["dobs"] - jnp.mean(arrs["dobs"]),
             "aprior_mw": jnp.asarray(aprior_mw, dtype=dtype),
             "low": jnp.asarray(low, dtype=dtype),
@@ -346,7 +348,12 @@ class GravMagModule:
             if use_wavelet:
                 dpre = P["Awcp"] @ model_transform(mw)
             else:
-                dpre = P["Aw"] @ mw
+                A = P["Aw"]
+                # reduced-precision storage (e.g. bf16) halves HBM traffic
+                # of the two A passes per leapfrog step; accumulation stays
+                # f32 via preferred_element_type
+                dpre = jnp.dot(A, mw.astype(A.dtype),
+                               preferred_element_type=dtype)
             dinv = dpre + P["grav_fix"] if has_fix else dpre
             r = (dinv - jnp.mean(dinv)) - P["dobs_centered"]
             return jnp.sum(r * r), dpre

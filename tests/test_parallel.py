@@ -1,0 +1,111 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4(e): chain-sharding tests runnable on a single host)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from gravinv3dhmc_tpu import mesher, utils
+from gravinv3dhmc_tpu.inversion.potential import GravMagModule
+from gravinv3dhmc_tpu.ops import prism
+from gravinv3dhmc_tpu.parallel import (
+    make_mesh,
+    make_sharded_chunk_sampler,
+    make_sharded_potential,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def problem():
+    bounds = (0, 800, 0, 800, 0, 400)
+    spacing = (100, 100, 100)
+    mesh = mesher.PrismMesh(bounds, spacing)
+    rho3 = np.zeros(mesh.shape)
+    rho3[1:3, 3:6, 3:6] = 1.0
+    mesh.addprop("density", rho3.ravel())
+    xo, yo, zo = utils.regular((0, 800, 0, 800), (8, 8), z=0.0)
+    dobs, _ = prism.gz(xo, yo, zo, mesh)
+    module = GravMagModule(dobs, bounds, spacing, (xo, yo, zo),
+                           verbose=False)
+    return module, dobs
+
+
+def test_mesh_axes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("chains", "model")
+
+
+def test_sharded_potential_matches_unsharded(problem):
+    module, dobs = problem
+    M = module.n_active
+    wdiag = module.wdiag
+    apr = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    mesh = make_mesh(8)
+    pot_sh, _ = make_sharded_potential(mesh, module.Aw, dobs, apr, low,
+                                       high, regularization="Damping",
+                                       dtype=jnp.float64)
+    pot_ref = module.make_potential(apr, low, high,
+                                    regularization="Damping",
+                                    dtype=jnp.float64)
+    rng = np.random.RandomState(0)
+    xb = rng.uniform(0.2, 0.8, (4, M)) * wdiag[None, :]
+    u_sh, g_sh, aux_sh = pot_sh(xb, 0.5)
+    u_ref, g_ref, aux_ref = pot_ref(xb, 0.5)
+    # data term identical; model term identical (Damping)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_sharded_chunk_runs_and_accepts(problem):
+    module, dobs = problem
+    M = module.n_active
+    wdiag = module.wdiag
+    apr = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    mesh = make_mesh(8)
+    nchains = 4
+    pot_sh, _ = make_sharded_potential(mesh, module.Aw, dobs, apr, low,
+                                       high, regularization="Damping",
+                                       dtype=jnp.float32)
+    run_chunk, init_carry = make_sharded_chunk_sampler(
+        mesh, pot_sh, low=low, high=high, M=M, nchains=nchains,
+        nsamples=16, ndraws=0, wdiag_inv=module.wdiag_inv,
+        data_size=dobs.size, chunk_size=8, dtype=jnp.float32)
+    x0 = np.tile((wdiag * np.full(M, 0.001))[None, :], (nchains, 1))
+    carry = init_carry(x0)
+    carry, stats = run_chunk(carry, random.PRNGKey(0), 0, pot_sh.params)
+    accepted = np.asarray(carry[5])
+    assert (accepted > 0).all()
+    assert np.isfinite(np.asarray(stats)).all()
+    # device-side sample buffer filled for accepted draws
+    buf = np.asarray(carry[6])
+    assert np.abs(buf[:, 0]).max() > 0
+
+
+def test_cross_chain_psum_diagnostics(problem):
+    """Cross-chain statistics via collectives (the reference computes them
+    only post-hoc in plot scripts, SURVEY.md §5 distributed table)."""
+    mesh = make_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    acc = jax.device_put(
+        jnp.arange(8.0).reshape(4, 2).sum(axis=1),  # per-chain accepts
+        NamedSharding(mesh, P("chains")))
+
+    @jax.jit
+    def global_accept_rate(a):
+        return jnp.mean(a)
+
+    assert float(global_accept_rate(acc)) == pytest.approx(
+        float(np.arange(8.0).reshape(4, 2).sum(axis=1).mean()))
