@@ -233,6 +233,22 @@ def prism_kernel_matrix(field, xo, yo, zo, mesh_or_cells, backend="numpy",
                          cells[:, 5] - cells[:, 4]], axis=1)
     scale = _SCALES[field]
 
+    if backend == "pallas":
+        if field != "gz":
+            raise NotImplementedError("pallas builder currently covers gz")
+        import jax
+        import jax.numpy as jnp
+        from .prism_pallas import gz_kernel_matrix_pallas
+        obs = np.stack([xo, yo, zo], axis=1)
+        # interpreter mode off-TPU so the same path is testable on CPU
+        interpret = jax.devices()[0].platform != "tpu"
+        # Mosaic rejects 64-bit scalars; keep every literal weak-f32 here
+        with jax.enable_x64(False):
+            return np.asarray(gz_kernel_matrix_pallas(
+                jnp.asarray(obs, jnp.float32),
+                jnp.asarray(cells, jnp.float32), np.float32(scale),
+                interpret=interpret))
+
     if backend == "jax":
         import jax
         import jax.numpy as jnp
