@@ -73,7 +73,6 @@ def cmd_realdata(args):
         aprior = utils.rho2carve(rd["aprior_mesh"], module.mask)
     else:
         aprior = np.full(M, 0.001)
-    initial = np.full(M, 0.01)
     initial = utils.rho2carve(np.full(module.mesh.size, 0.01), module.mask)
     boundaries = np.stack([np.full(M, rd["rhomin"]),
                            np.full(M, rd["rhomax"])], axis=1)

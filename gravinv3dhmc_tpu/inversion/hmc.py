@@ -342,6 +342,18 @@ class HamiltonianMC:
             # tiny transfers only: counters + (chunk, C, 5) stats
             accepted = np.asarray(carry[5]).astype(np.int64)
             stats_h = np.asarray(stats_d)
+            if not np.isfinite(stats_h).all():
+                # failure detection (the reference had none — its global run
+                # died silently to the OOM killer, SURVEY.md §5): stop with
+                # a diagnosis instead of writing poisoned samples
+                bad = np.flatnonzero(~np.isfinite(stats_h[..., 1]).all(0))
+                raise FloatingPointError(
+                    f"non-finite potential in chains {bad.tolist()} at "
+                    f"chunk {n_chunks} (dt={self.dt}, Sigma={self.Sigma}); "
+                    "reduce the step size or check the kernel matrix. "
+                    + (f"Last good state: {checkpoint_path}"
+                       if checkpoint_path else
+                       "Set checkpoint_path to make such runs resumable."))
             n_chunks += 1
             attempted += self.chunk_size * C
             grad_evals += int(stats_h[..., 4].sum())

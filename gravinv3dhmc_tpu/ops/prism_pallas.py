@@ -22,8 +22,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-TILE_O = 256
-TILE_C = 256
+TILE_O = 8
+TILE_C = 512
 
 
 def _safe_log(x):
@@ -57,28 +57,37 @@ def _safe_atan2(y, x):
 def _gz_tile_kernel(obs_ref, cell_ref, out_ref):
     """One (TILE_O, TILE_C) block of the gz kernel matrix.
 
-    ``obs_ref`` is (8, TILE_O): rows x, y, z (lane-aligned layout);
-    ``cell_ref`` is (8, TILE_C): rows x1, x2, y1, y2, z1, z2.
+    ``obs_ref`` is (TILE_O, 3) in SMEM: per-row obs scalars (x, y, z) —
+    scalar broadcasts avoid any cross-lane transpose; ``cell_ref`` is
+    (8, TILE_C) in VMEM: rows x1, x2, y1, y2, z1, z2 along the lanes.
+    Each program writes TILE_O rows sequentially.
     """
-    xo = obs_ref[0, :][:, None]  # (TILE_O, 1)
-    yo = obs_ref[1, :][:, None]
-    zo = obs_ref[2, :][:, None]
-    xs = (cell_ref[1, :][None, :], cell_ref[0, :][None, :])  # (1, TILE_C)
-    ys = (cell_ref[3, :][None, :], cell_ref[2, :][None, :])
-    zs = (cell_ref[5, :][None, :], cell_ref[4, :][None, :])
-    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
-    for i in range(2):
-        dx = xs[i] - xo  # (TILE_O, TILE_C)
-        for j in range(2):
-            dy = ys[j] - yo
-            for k in range(2):
-                dz = zs[k] - zo
-                r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-                term = -(dx * _safe_log(dy + r) + dy * _safe_log(dx + r)
-                         - dz * _safe_atan2(dx * dy, dz * r))
-                sign = -1.0 if (i + j + k) % 2 else 1.0
-                acc = acc + sign * term
-    out_ref[:] = acc
+    from jax.experimental import pallas as pl
+
+    xs = (cell_ref[1:2, :], cell_ref[0:1, :])  # (1, TILE_C); idx 0 = upper
+    ys = (cell_ref[3:4, :], cell_ref[2:3, :])
+    zs = (cell_ref[5:6, :], cell_ref[4:5, :])
+
+    def row(o, _):
+        xo = obs_ref[o, 0]
+        yo = obs_ref[o, 1]
+        zo = obs_ref[o, 2]
+        acc = jnp.zeros((1, xs[0].shape[1]), out_ref.dtype)
+        for i in range(2):
+            dx = xs[i] - xo
+            for j in range(2):
+                dy = ys[j] - yo
+                for k in range(2):
+                    dz = zs[k] - zo
+                    r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                    term = -(dx * _safe_log(dy + r) + dy * _safe_log(dx + r)
+                             - dz * _safe_atan2(dx * dy, dz * r))
+                    sign = -1.0 if (i + j + k) % 2 else 1.0
+                    acc = acc + sign * term
+        out_ref[pl.ds(o, 1), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, TILE_O, row, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -90,13 +99,13 @@ def gz_kernel_matrix_pallas(obs, cells, scale, interpret=False):
     multiples; padded cells use far-away dummy geometry and are sliced off.
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     D, M = obs.shape[0], cells.shape[0]
     Dp = -(-D // TILE_O) * TILE_O
     Mp = -(-M // TILE_C) * TILE_C
-    # lane-aligned layouts: coordinates along the 128-lane axis
-    obs_p = jnp.zeros((8, Dp), jnp.float32)
-    obs_p = obs_p.at[:3, :D].set(obs.astype(jnp.float32).T)
+    obs_p = jnp.zeros((Dp, 3), jnp.float32)
+    obs_p = obs_p.at[:D].set(obs.astype(jnp.float32))
     # pad cells with unit cubes far away (avoids 0-size singularities)
     cells_p = jnp.full((8, Mp), 1e7, jnp.float32)
     cells_p = cells_p.at[jnp.asarray([1, 3, 5]), :].set(1e7 + 1.0)
@@ -107,7 +116,8 @@ def gz_kernel_matrix_pallas(obs, cells, scale, interpret=False):
         _gz_tile_kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Mp), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec((8, TILE_O), lambda i, j: (0, i)),
+        in_specs=[pl.BlockSpec((TILE_O, 3), lambda i, j: (i, 0),
+                               memory_space=pltpu.SMEM),
                   pl.BlockSpec((8, TILE_C), lambda i, j: (0, j))],
         out_specs=pl.BlockSpec((TILE_O, TILE_C), lambda i, j: (i, j)),
         interpret=interpret,
