@@ -152,8 +152,24 @@ def main():
     ap.add_argument("--maxk", type=int, default=200)
     ap.add_argument("--samples", type=int, default=20)
     ap.add_argument("--kernel-cache", dest="kernel_cache", default=None)
+    ap.add_argument("--setpmts", default=None,
+                    help="reference-format SetPMTS.txt (JSON lines)")
+    ap.add_argument("--attempt", type=int, default=0,
+                    help="line index into --setpmts (the reference's CLI "
+                         "integer, main_uniform.py:105)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
+
+    if args.setpmts:
+        from gravinv3dhmc_tpu.config import load_setpmts
+        cfg = load_setpmts(args.setpmts)[args.attempt]
+        args.nsamples = cfg.nsamples
+        args.Lrange = list(cfg.Lrange)
+        args.delta = cfg.delta
+        args.Sigma = cfg.Sigma
+        args.RegulFactor = cfg.RegulFactor
+        args.regularization = cfg.regularization
+        args.beta = cfg.beta
 
     if args.workload == "uniformgrid":
         cmd_hmc(args, W.uniformgrid)
