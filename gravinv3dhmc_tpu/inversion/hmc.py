@@ -73,7 +73,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     the reference's column layout; ``nacc`` counts accepted samples
     (including the ``ndraws`` warm-up ones, which are not stored).
     """
-    dt = jnp.asarray(dt, dtype)
+    dt_default = float(dt)
     Sigma = jnp.asarray(Sigma, dtype)
     low = jnp.asarray(low, dtype)
     high = jnp.asarray(high, dtype)
@@ -90,7 +90,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         pot_raw = lambda x, a, _p: potential_fn(x, a)
 
     def one_iteration(carry, key_P):
-        key, P = key_P
+        key, P, dt = key_P
         x, U, g, u_data, u_model, nacc, buf_m, buf_k = carry
         potential_fn = lambda xx, aa: pot_raw(xx, aa, P)
         C = x.shape[0]
@@ -202,13 +202,14 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
 
     @jax.jit
-    def run_chunk(carry, base_key, chunk_idx, params):
+    def run_chunk(carry, base_key, chunk_idx, params, dt=dt_default):
         # key derivation inside jit: one dispatch per chunk, no eager
         # random.split round-trips over a high-latency device link
+        dt = jnp.asarray(dt, dtype)
         key = random.fold_in(base_key, chunk_idx)
         keys = random.split(key, chunk_size)
         carry, stats = lax.scan(
-            lambda c, k: one_iteration(c, (k, params)), carry, keys)
+            lambda c, k: one_iteration(c, (k, params, dt)), carry, keys)
         return carry, stats
 
     return run_chunk
@@ -240,6 +241,12 @@ class HamiltonianMC:
         self.dtype = jnp.float32
         self.verbose = True
         self.write_files = True
+        #: dual-averaging step-size adaptation during the first
+        #: ``adapt_chunks`` chunks (an extension the reference lacks; off by
+        #: default to preserve its fixed-dt semantics)
+        self.adapt_step_size = False
+        self.adapt_target = 0.8
+        self.adapt_chunks = 10
         # filled by HMCSample()
         self.low = None
         self.high = None
@@ -332,13 +339,18 @@ class HamiltonianMC:
         t0 = time.time()
         n_chunks = start_chunk
         accepted = np.asarray(carry[5]).astype(np.int64)
+        dt_cur = float(self.dt)
+        da = None
+        if self.adapt_step_size:
+            from .nuts import dual_averaging_init, dual_averaging_update
+            da = dual_averaging_init(dt_cur, target=self.adapt_target)
         while accepted.min() < total:
             if n_chunks >= max_chunks:
                 print(f"WARNING: stopping after {n_chunks} chunks with "
                       f"accepted counts {accepted.tolist()}")
                 break
             carry, stats_d = run_chunk(carry, base_key, n_chunks,
-                                       pot_params)
+                                       pot_params, dt_cur)
             # tiny transfers only: counters + (chunk, C, 5) stats
             accepted = np.asarray(carry[5]).astype(np.int64)
             stats_h = np.asarray(stats_d)
@@ -369,6 +381,15 @@ class HamiltonianMC:
                               ud_l / data_size, alpha, um_l / model_size,
                               ratio),
                       flush=True)
+            if da is not None:
+                if n_chunks <= self.adapt_chunks:
+                    chunk_accept = float(stats_h[..., 0].mean())
+                    da = dual_averaging_update(da, chunk_accept)
+                    dt_cur = float(np.exp(da["log_eps"]))
+                elif n_chunks == self.adapt_chunks + 1:
+                    dt_cur = float(np.exp(da["log_eps_avg"]))
+                    if self.verbose:
+                        print(f"adapted step size: {dt_cur:.5g}", flush=True)
             if callback is not None:
                 callback(accepted, carry[0])
             if checkpoint_path and n_chunks % checkpoint_every == 0:
@@ -385,6 +406,17 @@ class HamiltonianMC:
         buf_m = np.asarray(carry[6], dtype=np.float64)
         buf_k = np.asarray(carry[7], dtype=np.float64)
         n_stored = np.minimum(np.maximum(accepted - ndraws, 0), nsamples)
+
+        # ESS/s over a parameter subsample (north-star metric,
+        # BASELINE.json; full-M autocorrelation would dominate runtime)
+        ess_per_s = None
+        n_common = int(n_stored.min())
+        if n_common >= 8:
+            from ..diagnostics import effective_sample_size
+            rng = np.random.RandomState(0)
+            sub = rng.choice(M, size=min(M, 128), replace=False)
+            ess = effective_sample_size(buf_m[:, :n_common, :][:, :, sub])
+            ess_per_s = float(np.median(ess)) / max(elapsed, 1e-9)
 
         folders = []
         if self.write_files:
@@ -406,6 +438,8 @@ class HamiltonianMC:
             "elapsed_s": elapsed,
             "grad_evals": grad_evals,
             "grad_evals_per_s": grad_evals / max(elapsed, 1e-9),
+            "step_size": dt_cur,
+            "ess_per_s_median": ess_per_s,
         }
 
 
