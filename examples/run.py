@@ -107,6 +107,41 @@ def cmd_cg(args):
     print(json.dumps(out))
 
 
+def cmd_bootstrap_southchina(args):
+    """Bootstrap on a South-China-shaped coastal problem: ratio mesh +
+    topography carving + with-replacement row resampling
+    (reference: example/bootstrap_southchina/main_BSCG_SouthChina_20km.py:
+    38-56; its observation file is not in the published tree, so the
+    geometry is reproduced with synthetic coastal data)."""
+    import numpy as np
+    from gravinv3dhmc_tpu import utils
+    from gravinv3dhmc_tpu.inversion.reginv import BootStrap
+    mrange = (-750000, 950000, -820000, 880000, -3500, 50000)
+    mspacing = (2000, 100000, 100000)
+    rng = np.random.RandomState(2)
+    xo, yo = np.meshgrid(np.linspace(-700000, 900000, 17),
+                         np.linspace(-770000, 830000, 17))
+    xo, yo = xo.ravel(), yo.ravel()
+    # coastal topography: land in the NW, sea floor in the SE
+    topo = 1500 - 3000 * (xo + yo + 1.5e6) / 3.2e6         + rng.normal(0, 100, xo.size)
+    heights = np.maximum(topo, 0.0)
+    dobs = rng.normal(0, 15, xo.size)
+    bs = BootStrap(mrange, mspacing, (xo, yo, -heights), dobs,
+                   (-1.0, 1.0), samples=args.samples, beta=0.01,
+                   maxk=args.maxk, mratio=1.5, wavelet="1D",
+                   verbose=not args.quiet, mtopo=(xo, yo, topo))
+    models, d_h, m_h, r_h = bs.BSCG(np.zeros(bs.msize))
+    out = {
+        "workload": "bootstrap_southchina",
+        "mesh_shape": list(bs.mshape),
+        "carved_cells": int(bs.A.shape[1]),
+        "samples": args.samples,
+        "model_std_max": float(models.std(axis=0).max()),
+        "finite": bool(np.isfinite(models).all()),
+    }
+    print(json.dumps(out))
+
+
 def cmd_bootstrap(args):
     from gravinv3dhmc_tpu.inversion.reginv import BootStrap
     wl = W.uniformgrid()
@@ -131,7 +166,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workload",
                     choices=["uniformgrid", "segmentgrid", "ratiogrid",
-                             "global", "realdata", "cg", "bootstrap"])
+                             "global", "realdata", "cg", "bootstrap",
+                             "bootstrap-southchina"])
     ap.add_argument("--nsamples", type=int, default=500)
     ap.add_argument("--ndraws", type=int, default=0)
     ap.add_argument("--nchains", type=int, default=2)
@@ -185,6 +221,8 @@ def main():
         cmd_cg(args)
     elif args.workload == "bootstrap":
         cmd_bootstrap(args)
+    elif args.workload == "bootstrap-southchina":
+        cmd_bootstrap_southchina(args)
 
 
 if __name__ == "__main__":
