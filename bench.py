@@ -87,17 +87,20 @@ def main():
     jax.block_until_ready(carry[0])
 
     t0 = time.time()
-    grad_evals = 0
-    accept_sum = 0.0
+    # accumulate counters on device; exactly two scalar transfers at the
+    # end (the tunnelled link stalls on anything bigger)
+    ge_acc = jnp.zeros((), jnp.float32)
+    ac_acc = jnp.zeros((), jnp.float32)
     stat_count = 0
     for i in range(1, n_timed_chunks + 1):
         carry, stats = run_chunk(carry, base_key, i, potential_fn.params)
-        # transfer scalars only: bulk d2h over the tunnelled link is slow
-        grad_evals += int(jnp.sum(stats[..., 4]))
-        accept_sum += float(jnp.sum(stats[..., 0]))
+        ge_acc = ge_acc + jnp.sum(stats[..., 4])
+        ac_acc = ac_acc + jnp.sum(stats[..., 0])
         stat_count += stats.shape[0] * stats.shape[1]
-    jax.block_until_ready(carry[5])
+    jax.block_until_ready(ge_acc)
     elapsed = time.time() - t0
+    grad_evals = int(ge_acc)
+    accept_sum = float(ac_acc)
 
     value = grad_evals / elapsed
     result = {

@@ -1,4 +1,5 @@
 """Multi-chip distribution: sharded kernel matvec + chain parallelism."""
+from . import multihost
 from .sharded import make_mesh, make_sharded_chunk_sampler, make_sharded_potential
 
-__all__ = ["make_mesh", "make_sharded_potential", "make_sharded_chunk_sampler"]
+__all__ = ["make_mesh", "make_sharded_potential", "make_sharded_chunk_sampler", "multihost"]
