@@ -90,13 +90,20 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         pot_raw = lambda x, a, _p: potential_fn(x, a)
 
     def one_iteration(carry, key_P):
-        key, P, dt = key_P
+        key, P, dt, inv_mass = key_P
         x, U, g, u_data, u_model, nacc, buf_m, buf_k = carry
         potential_fn = lambda xx, aa: pot_raw(xx, aa, P)
         C = x.shape[0]
         kL, kp, ku = random.split(key, 3)
-        p0 = random.normal(kp, x.shape, dtype) * Sigma
-        K0 = 0.5 * jnp.sum(p0 * p0, axis=-1)
+        if inv_mass is None:
+            # reference kinetic: K = p.p/2 with p ~ N(0, Sigma^2)
+            # (inversion/hmc.py:44-50,95 — a tempering quirk, preserved)
+            p0 = random.normal(kp, x.shape, dtype) * Sigma
+            K0 = 0.5 * jnp.sum(p0 * p0, axis=-1)
+        else:
+            # proper diagonal metric: p ~ N(0, M), K = p^T M^-1 p / 2
+            p0 = random.normal(kp, x.shape, dtype) / jnp.sqrt(inv_mass)
+            K0 = 0.5 * jnp.sum(inv_mass * p0 * p0, axis=-1)
         H0 = K0 + U
         # first half kick
         p = p0 - 0.5 * dt * g
@@ -113,7 +120,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
 
             def leapfrog_step(i, state):
                 x, p, U_l, g_l, ud_l, um_l = state
-                x = x + dt * p
+                x = x + dt * (p if inv_mass is None else inv_mass * p)
                 if mandatory:
                     over = x > high
                     under = x < low
@@ -135,7 +142,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             def leapfrog_step(state, i):
                 x, p, U_l, g_l, ud_l, um_l = state
                 active = (i < L)[:, None]  # (C, 1)
-                x_new = x + dt * p
+                x_new = x + dt * (p if inv_mass is None else inv_mass * p)
                 p_new = p
                 if mandatory:
                     over = x_new > high
@@ -161,7 +168,10 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             (x_new, p_new, U_new, g_new, ud_new, um_new), _ = lax.scan(
                 leapfrog_step, state0, jnp.arange(Lmax))
 
-        K_new = 0.5 * jnp.sum(p_new * p_new, axis=-1)
+        if inv_mass is None:
+            K_new = 0.5 * jnp.sum(p_new * p_new, axis=-1)
+        else:
+            K_new = 0.5 * jnp.sum(inv_mass * p_new * p_new, axis=-1)
         H_new = K_new + U_new
         u = random.uniform(ku, (C,), dtype)
         accept = (H_new < H0) | (u < jnp.exp(-(H_new - H0)))
@@ -202,14 +212,18 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
 
     @jax.jit
-    def run_chunk(carry, base_key, chunk_idx, params, dt=dt_default):
+    def run_chunk(carry, base_key, chunk_idx, params, dt=dt_default,
+                  inv_mass=None):
         # key derivation inside jit: one dispatch per chunk, no eager
         # random.split round-trips over a high-latency device link
         dt = jnp.asarray(dt, dtype)
+        if inv_mass is not None:
+            inv_mass = jnp.asarray(inv_mass, dtype)
         key = random.fold_in(base_key, chunk_idx)
         keys = random.split(key, chunk_size)
         carry, stats = lax.scan(
-            lambda c, k: one_iteration(c, (k, params, dt)), carry, keys)
+            lambda c, k: one_iteration(c, (k, params, dt, inv_mass)),
+            carry, keys)
         return carry, stats
 
     return run_chunk
@@ -247,6 +261,13 @@ class HamiltonianMC:
         self.adapt_step_size = False
         self.adapt_target = 0.8
         self.adapt_chunks = 10
+        #: estimate a diagonal metric from the samples stored during the
+        #: first ``adapt_chunks`` chunks, then switch the kinetic energy to
+        #: K = p^T M^-1 p / 2 (Stan-style; the reference's Sigma-scaled
+        #: identity is kept when off). As in Stan, the estimate is only as
+        #: good as the warmup window: set adapt_chunks well past the
+        #: initial transient or the drift direction dominates the metric.
+        self.adapt_mass = False
         # filled by HMCSample()
         self.low = None
         self.high = None
@@ -340,6 +361,7 @@ class HamiltonianMC:
         n_chunks = start_chunk
         accepted = np.asarray(carry[5]).astype(np.int64)
         dt_cur = float(self.dt)
+        inv_mass = None
         da = None
         if self.adapt_step_size:
             from .nuts import dual_averaging_init, dual_averaging_update
@@ -350,7 +372,7 @@ class HamiltonianMC:
                       f"accepted counts {accepted.tolist()}")
                 break
             carry, stats_d = run_chunk(carry, base_key, n_chunks,
-                                       pot_params, dt_cur)
+                                       pot_params, dt_cur, inv_mass)
             # tiny transfers only: counters + (chunk, C, 5) stats
             accepted = np.asarray(carry[5]).astype(np.int64)
             stats_h = np.asarray(stats_d)
@@ -381,6 +403,19 @@ class HamiltonianMC:
                               ud_l / data_size, alpha, um_l / model_size,
                               ratio),
                       flush=True)
+            if (self.adapt_mass and inv_mass is None
+                    and n_chunks >= self.adapt_chunks
+                    and int(accepted.min()) - ndraws >= 8):
+                # device-side variance of the stored mw samples -> metric
+                wdiag_dev = jnp.asarray(self.model.wdiag, dtype)
+                n_use = int(min(np.minimum(accepted - ndraws,
+                                           nsamples).min(), nsamples))
+                mw_buf = carry[6][:, :n_use, :] * wdiag_dev
+                var = jnp.clip(jnp.var(mw_buf, axis=(0, 1)), 1e-12, None)
+                inv_mass = var  # Stan: inverse mass = posterior variance
+                if self.verbose:
+                    print(f"adapted diagonal mass at chunk {n_chunks}",
+                          flush=True)
             if da is not None:
                 if n_chunks <= self.adapt_chunks:
                     chunk_accept = float(stats_h[..., 0].mean())
