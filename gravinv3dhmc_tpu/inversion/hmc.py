@@ -80,6 +80,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     alpha_c = jnp.asarray(alpha, dtype)
     wdiag_inv = jnp.asarray(wdiag_inv, dtype)
     mandatory = constraint == "mandatory"
+    reflective = constraint == "reflective"
     logarithmic = constraint == "logarithmic"
     total = nsamples + ndraws
     # Potential objects expose (fn, params): large arrays are threaded as
@@ -126,6 +127,14 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                     under = x < low
                     x = jnp.clip(x, low, high)
                     p = jnp.where(over | under, -p, p)
+                elif reflective:
+                    for _ in range(4):
+                        over = x > high
+                        under = x < low
+                        x = jnp.where(over, 2 * high - x, x)
+                        x = jnp.where(under, 2 * low - x, x)
+                        p = jnp.where(over | under, -p, p)
+                    x = jnp.clip(x, low, high)
                 U_l, g_l, (_, ud_l, um_l) = potential_fn(x, alpha_c)
                 p = p - dt * g_l
                 return (x, p, U_l, g_l, ud_l, um_l)
@@ -149,6 +158,17 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                     under = x_new < low
                     x_new = jnp.clip(x_new, low, high)
                     p_new = jnp.where(over | under, -p_new, p_new)
+                elif reflective:
+                    # true billiard reflection — the variant the reference
+                    # keeps commented out (inversion/hmc.py:128-134); a
+                    # bounded number of folds handles multi-crossings
+                    for _ in range(4):
+                        over = x_new > high
+                        under = x_new < low
+                        x_new = jnp.where(over, 2 * high - x_new, x_new)
+                        x_new = jnp.where(under, 2 * low - x_new, x_new)
+                        p_new = jnp.where(over | under, -p_new, p_new)
+                    x_new = jnp.clip(x_new, low, high)
                 U_new, g_new, (_, ud_new, um_new) = potential_fn(x_new,
                                                                  alpha_c)
                 # full kick inside the trajectory, half kick on the last
@@ -312,7 +332,7 @@ class HamiltonianMC:
         mw0 = np.broadcast_to(self.initial_model, (C, M)).astype(np.float64)
         if self.constraint == "logarithmic":
             x0 = mw_to_logistic(mw0, self.low, self.high, self.log_factor)
-        elif self.constraint == "mandatory":
+        elif self.constraint in ("mandatory", "reflective"):
             x0 = mw0
         else:
             raise ValueError(

@@ -309,7 +309,10 @@ class GravMagModule:
             raise ValueError(
                 "Please choose regularization from 'MS','Damping', "
                 "'Smoothness', 'TV'.")
-        if constraint not in ("mandatory", "logarithmic"):
+        if constraint not in ("mandatory", "logarithmic", "reflective"):
+            # 'reflective' extends the reference's two modes with the true
+            # billiard reflection it keeps commented out (hmc.py:128-134);
+            # the potential treats it like 'mandatory' (identity transform)
             raise ValueError(
                 "Please choose right boundary constraint(mandatory, "
                 "logarithmic)!")
