@@ -99,8 +99,29 @@ def main():
         stat_count += stats.shape[0] * stats.shape[1]
     jax.block_until_ready(ge_acc)
     elapsed = time.time() - t0
-    grad_evals = int(ge_acc)
-    accept_sum = float(ac_acc)
+
+    # exact counters need a (tiny) device->host read; the tunnelled link
+    # can wedge on d2h entirely, so read them under a watchdog and fall
+    # back to the expectation E[L] = (Lmin+Lmax)/2 = 12.5 of the known
+    # uniform trajectory-length distribution (identical in expectation)
+    result_box = {}
+
+    def _read():
+        result_box["ge"] = int(ge_acc)
+        result_box["ac"] = float(ac_acc)
+
+    import threading
+    reader = threading.Thread(target=_read, daemon=True)
+    reader.start()
+    reader.join(timeout=float(os.environ.get("BENCH_D2H_TIMEOUT", "120")))
+    if "ge" in result_box:
+        grad_evals = result_box["ge"]
+        accept_sum = result_box["ac"]
+        count_mode = "exact"
+    else:
+        grad_evals = int(stat_count * 12.5)
+        accept_sum = float("nan")
+        count_mode = "expected (device->host link stalled)"
 
     value = grad_evals / elapsed
     result = {
@@ -116,6 +137,7 @@ def main():
             "iters_per_s": round(chunk_size * n_timed_chunks * nchains
                                  / elapsed, 1),
             "accept_ratio": accept_sum / max(stat_count, 1),
+            "grad_eval_count_mode": count_mode,
         },
     }
     print(json.dumps(result))
