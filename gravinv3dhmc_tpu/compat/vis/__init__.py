@@ -1,2 +1,2 @@
 """vis compat package (reference: vis/)."""
-from ...vis import mpl  # noqa: F401
+from ...vis import mpl, myv  # noqa: F401

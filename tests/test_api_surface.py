@@ -61,6 +61,27 @@ def _public_defs(path):
     return names
 
 
+def test_compat_package_exports():
+    """The reference's package __init__ re-exports resolve under compat
+    (reference: inversion/__init__.py:1-2, gravmag/__init__.py,
+    mesher/__init__.py:4)."""
+    from gravinv3dhmc_tpu import compat
+    for name in ("HamitonianMC", "HMCSample", "GravMagModule",
+                 "JointModule"):
+        assert hasattr(compat.inversion, name)
+    for name in ("kernelcompressor", "modelcompressor", "prism",
+                 "tesseroid", "tesseroidforward"):
+        assert hasattr(compat.gravmag, name)
+    for name in ("Prism", "Tesseroid", "PrismRelief", "PrismMesh",
+                 "TesseroidMesh", "PrismMeshSegment",
+                 "TesseroidMeshSegment"):
+        assert hasattr(compat.mesher, name)
+    # submodule-style imports work like the reference's flat layout
+    from gravinv3dhmc_tpu.compat.mesher import PrismMesh  # noqa: F401
+    from gravinv3dhmc_tpu.compat.utils import regular  # noqa: F401
+    assert hasattr(compat.vis, "mpl") and hasattr(compat.vis, "myv")
+
+
 @pytest.mark.parametrize("ref_module", sorted(PAIRS))
 def test_symbol_coverage(ref_module):
     ref_names = _public_defs(os.path.join(REF, ref_module))
