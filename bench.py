@@ -49,9 +49,13 @@ def build_problem():
 
 
 def main():
-    nchains = int(os.environ.get("BENCH_NCHAINS", "256"))
+    nchains = int(os.environ.get("BENCH_NCHAINS", "1024"))
     chunk_size = int(os.environ.get("BENCH_CHUNK", "128"))
     n_timed_chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
+    # shared trajectory length per iteration: every device step is a
+    # useful grad eval (the masked per-chain-L scan wastes
+    # (Lmax-E[L])/Lmax of its steps); measured ~2x on v5e
+    shared_L = os.environ.get("BENCH_SHARED_L", "1") != "0"
 
     module, dobs = build_problem()
     M = module.n_active
@@ -71,7 +75,7 @@ def main():
         potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
         high=high, constraint="mandatory", alpha=1.0, chunk_size=chunk_size,
         nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
-        data_size=dobs.size, dtype=jnp.float32)
+        data_size=dobs.size, dtype=jnp.float32, shared_L=shared_L)
 
     x = jnp.asarray(np.tile((wdiag * np.full(M, 0.001))[None, :],
                             (nchains, 1)), jnp.float32)
@@ -133,6 +137,7 @@ def main():
             "device": str(jax.devices()[0]),
             "nchains": nchains,
             "chunk_size": chunk_size,
+            "shared_L": shared_L,
             "problem": [int(dobs.size), int(M)],
             "iters_per_s": round(chunk_size * n_timed_chunks * nchains
                                  / elapsed, 1),

@@ -26,6 +26,33 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_module():
+    """A tiny uniformgrid GravMagModule: (module, dobs, truth) shared by
+    sampler integration tests."""
+    import numpy as np
+    from gravinv3dhmc_tpu import mesher, utils
+    from gravinv3dhmc_tpu.inversion.potential import GravMagModule
+    from gravinv3dhmc_tpu.ops import prism
+
+    bounds = (0, 800, 0, 1200, 0, 400)
+    spacing = (100, 100, 100)
+    mesh = mesher.PrismMesh(bounds, spacing)
+    nz, ny, nx = mesh.shape
+    rho = np.zeros((nz, ny, nx))
+    rho[1:3, 4:8, 3:6] = 1.0
+    mesh.addprop("density", rho.ravel())
+    xo, yo, zo = utils.regular((0, 800, 0, 1200), (nx, ny), z=0.0)
+    gz_true, _ = prism.gz(xo, yo, zo, mesh)
+    dobs = utils.contaminate(gz_true, 0.02 * gz_true.max(), seed=3)
+    module = GravMagModule(dobs, bounds, spacing, (xo, yo, zo),
+                           verbose=False)
+    return module, dobs, rho.ravel()
+
+
 def load_reference_modules():
     """Import the reference implementation (pure-python parts only) for
     parity tests. Returns None if it cannot be imported."""
