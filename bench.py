@@ -56,6 +56,9 @@ def main():
     # useful grad eval (the masked per-chain-L scan wastes
     # (Lmax-E[L])/Lmax of its steps); measured ~2x on v5e
     shared_L = os.environ.get("BENCH_SHARED_L", "1") != "0"
+    # fully-fused Pallas leapfrog step (ops/leapfrog_pallas.py):
+    # VMEM-resident bf16 kernel matrix, one HBM pass over (x, p) per step
+    use_fused = os.environ.get("BENCH_FUSED", "1") != "0"
 
     module, dobs = build_problem()
     M = module.n_active
@@ -71,11 +74,19 @@ def main():
         matvec_dtype=jnp.dtype(matvec_dtype) if matvec_dtype else None)
 
     nsamples = int(os.environ.get("BENCH_NSAMPLES", "64"))
+    fused = None
+    if use_fused:
+        from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_step
+        fused = make_fused_step(
+            np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs), None,
+            aprior, module.wdiag * module.wdiag, low, high,
+            regularization="MS", beta=0.001)
     run_chunk = hmc.make_chunk_sampler(
         potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
         high=high, constraint="mandatory", alpha=1.0, chunk_size=chunk_size,
         nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
-        data_size=dobs.size, dtype=jnp.float32, shared_L=shared_L)
+        data_size=dobs.size, dtype=jnp.float32, shared_L=shared_L,
+        fused_step=fused)
 
     x = jnp.asarray(np.tile((wdiag * np.full(M, 0.001))[None, :],
                             (nchains, 1)), jnp.float32)
@@ -138,6 +149,7 @@ def main():
             "nchains": nchains,
             "chunk_size": chunk_size,
             "shared_L": shared_L,
+            "fused_pallas_step": use_fused,
             "problem": [int(dobs.size), int(M)],
             "iters_per_s": round(chunk_size * n_timed_chunks * nchains
                                  / elapsed, 1),

@@ -56,7 +56,7 @@ from .potential import logistic_to_mw, mw_to_logistic
 def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                        constraint, alpha, chunk_size, nsamples, ndraws,
                        wdiag_inv, data_size, log_factor=1000.0,
-                       dtype=jnp.float32, shared_L=False):
+                       dtype=jnp.float32, shared_L=False, fused_step=None):
     """Build the jitted chunk kernel with a device-resident sample buffer.
 
     ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
@@ -82,6 +82,9 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     mandatory = constraint == "mandatory"
     reflective = constraint == "reflective"
     logarithmic = constraint == "logarithmic"
+    if fused_step is not None and not mandatory:
+        raise ValueError("the fused Pallas trajectory supports the "
+                         "'mandatory' boundary constraint only")
     total = nsamples + ndraws
     # Potential objects expose (fn, params): large arrays are threaded as
     # jit arguments rather than captured constants
@@ -109,7 +112,36 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         # first half kick
         p = p0 - 0.5 * dt * g
 
-        if shared_L:
+        if fused_step is not None:
+            # fully-fused Pallas trajectory (ops/leapfrog_pallas.py):
+            # shared L, 'mandatory' boundary, identity metric. The carried
+            # gradient is recovered algebraically from the last two
+            # momenta — the kernel never writes g to HBM. The one subtlety
+            # is the in-kernel momentum negation on boundary hits: the
+            # last step's negation mask is recomputed here (4 elementwise
+            # passes once per trajectory) to get the pre-kick momentum.
+            L_scalar = random.randint(kL, (), Lmin, Lmax + 1)
+            L = jnp.full((C,), L_scalar)
+            p_half = p  # p already holds the first half kick
+
+            def fused_body(i, s):
+                xx, pp, _, _, UU, ud_c, um_c = s
+                x2, p2, U2, ud2, um2 = fused_step(xx, pp, dt, alpha_c)
+                return (x2, p2, xx, pp, U2, ud2, um2)
+
+            (x_new, p_full, x_prev, p_prev, U_new, ud_new,
+             um_new) = lax.fori_loop(
+                0, L_scalar, fused_body,
+                (x, p_half, x, p_half, U, u_data, u_model))
+            # pre-kick momentum of the last step (replay its boundary
+            # negation), then the trailing half kick: p_eff - dt/2 * g
+            # with g = (p_eff - p_full)/dt  =>  (p_eff + p_full)/2
+            x_pre = x_prev + dt * p_prev
+            hit = (x_pre > high) | (x_pre < low)
+            p_eff = jnp.where(hit, -p_prev, p_prev)
+            g_new = (p_eff - p_full) / dt
+            p_new = 0.5 * (p_eff + p_full)
+        elif shared_L:
             # one trajectory length per iteration shared by all chains:
             # exactly L device steps, no masked-step waste. Measured on a
             # TPU v5e chip (600x6000 problem, 256-1024 chains) this is
@@ -242,6 +274,9 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         # random.split round-trips over a high-latency device link
         dt = jnp.asarray(dt, dtype)
         if inv_mass is not None:
+            if fused_step is not None:
+                raise ValueError("the fused Pallas trajectory uses the "
+                                 "identity metric; inv_mass unsupported")
             inv_mass = jnp.asarray(inv_mass, dtype)
         key = random.fold_in(base_key, chunk_idx)
         keys = random.split(key, chunk_size)

@@ -1,0 +1,123 @@
+"""Fused Pallas leapfrog trajectory vs the XLA sampler path.
+
+Runs the Pallas kernel in interpreter mode (CPU) with f32 matvecs so the
+comparison against the XLA shared-L trajectory is exact up to f32
+rounding; on TPU the kernel runs compiled with bf16 A + f32 accumulation
+(validated separately on hardware via bench.py accept ratios).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from gravinv3dhmc_tpu.inversion import hmc
+from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_step
+
+
+def _setup(module, dobs, reg="MS"):
+    M = module.n_active
+    wdiag = module.wdiag
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    aprior = wdiag * np.full(M, 0.001)
+    pot = module.make_potential(aprior, low, high, constraint="mandatory",
+                                regularization=reg, beta=0.001,
+                                dtype=jnp.float32)
+    fstep = make_fused_step(
+        np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs), None,
+        aprior, wdiag * wdiag, low, high, regularization=reg, beta=0.001,
+        tile_c=8, matvec_dtype=jnp.float32, interpret=True)
+    return pot, fstep, low, high, aprior
+
+
+def test_fused_step_matches_potential(small_module):
+    module, dobs, _ = small_module
+    pot, fstep, low, high, aprior = _setup(module, dobs)
+    M = module.n_active
+    C = 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(0.2 + 0.1 * rng.rand(C, M), jnp.float32)
+    p = jnp.asarray(0.01 * rng.randn(C, M), jnp.float32)
+    eps = jnp.asarray(0.01, jnp.float32)
+    alpha = jnp.asarray(1.0, jnp.float32)
+
+    x2, p2, U2, ud2, um2 = fstep(x, p, eps, alpha)
+
+    # XLA reference: drift + clamp + negate + potential + kick
+    x_ref = x + eps * p
+    hit = (x_ref > jnp.asarray(high)) | (x_ref < jnp.asarray(low))
+    x_ref = jnp.clip(x_ref, jnp.asarray(low, jnp.float32),
+                     jnp.asarray(high, jnp.float32))
+    p_ref = jnp.where(hit, -p, p)
+    U_r, g_r, (_, ud_r, um_r) = pot(x_ref, 1.0)
+    p_ref = p_ref - eps * g_r
+
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U_r), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(ud2), np.asarray(ud_r),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(um2), np.asarray(um_r),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("reg", ["MS", "Damping"])
+def test_fused_trajectory_matches_shared_L(small_module, reg):
+    """A whole sampling chunk via the fused engine equals the XLA
+    shared-L engine: same RNG stream => same accept decisions and
+    posterior buffers up to f32 rounding."""
+    module, dobs, _ = small_module
+    pot, fstep, low, high, aprior = _setup(module, dobs, reg)
+    M = module.n_active
+    C, nsamples, chunk = 8, 16, 24
+
+    def build(fused):
+        return hmc.make_chunk_sampler(
+            pot, dt=0.01, Lmin=3, Lmax=8, Sigma=0.001, low=low, high=high,
+            constraint="mandatory", alpha=1.0, chunk_size=chunk,
+            nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
+            data_size=dobs.size, dtype=jnp.float32, shared_L=True,
+            fused_step=fstep if fused else None)
+
+    x0 = jnp.asarray(np.tile(np.full(M, 0.3, np.float32)[None, :] *
+                             np.asarray(module.wdiag, np.float32),
+                             (C, 1)), jnp.float32)
+    U, g, (_, ud, um) = pot(x0, 1.0)
+
+    def carry0():
+        return (x0, U, g, ud, um, jnp.zeros(C, jnp.int32),
+                jnp.zeros((C, nsamples, M), jnp.float32),
+                jnp.zeros((C, nsamples, 7), jnp.float32))
+
+    key = random.PRNGKey(42)
+    c_x, s_x = build(False)(carry0(), key, 0, pot.params)
+    c_f, s_f = build(True)(carry0(), key, 0, pot.params)
+
+    # identical accept decisions and trajectory lengths
+    np.testing.assert_array_equal(np.asarray(s_x[..., 0]),
+                                  np.asarray(s_f[..., 0]))
+    np.testing.assert_array_equal(np.asarray(s_x[..., 4]),
+                                  np.asarray(s_f[..., 4]))
+    np.testing.assert_array_equal(np.asarray(c_x[5]), np.asarray(c_f[5]))
+    # same end states and sample buffers up to rounding
+    np.testing.assert_allclose(np.asarray(c_x[0]), np.asarray(c_f[0]),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(c_x[6]), np.asarray(c_f[6]),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_x[..., 1]),
+                               np.asarray(s_f[..., 1]), rtol=1e-3)
+
+
+def test_fused_rejects_bad_config(small_module):
+    module, dobs, _ = small_module
+    pot, fstep, low, high, _ = _setup(module, dobs)
+    with pytest.raises(ValueError):
+        hmc.make_chunk_sampler(
+            pot, dt=0.01, Lmin=3, Lmax=8, Sigma=0.001, low=low, high=high,
+            constraint="logarithmic", alpha=1.0, chunk_size=4,
+            nsamples=4, ndraws=0, wdiag_inv=module.wdiag_inv,
+            data_size=dobs.size, shared_L=True, fused_step=fstep)
