@@ -75,12 +75,30 @@ def main():
 
     nsamples = int(os.environ.get("BENCH_NSAMPLES", "64"))
     fused = None
+    fused_mode = "off"
     if use_fused:
-        from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_step
-        fused = make_fused_step(
-            np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs), None,
-            aprior, module.wdiag * module.wdiag, low, high,
-            regularization="MS", beta=0.001)
+        # compile-probe the fused Pallas step on THIS device before
+        # committing to it: a Mosaic rejection must never fail the bench
+        # (round-1 BENCH_r01.json rc=1 lesson) — fall back to the proven
+        # XLA shared-L path instead
+        try:
+            from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_step
+            fused = make_fused_step(
+                np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
+                None, aprior, module.wdiag * module.wdiag, low, high,
+                regularization="MS", beta=0.001)
+            probe_x = jnp.zeros((32, M), jnp.float32)
+            out = fused(probe_x, probe_x, jnp.float32(0.01),
+                        jnp.float32(1.0))
+            jax.block_until_ready(out[0])
+            fused_mode = "on"
+        except Exception as e:  # noqa: BLE001 — any compile failure
+            print(f"WARNING: fused Pallas step unavailable on "
+                  f"{jax.devices()[0]}: {type(e).__name__}: "
+                  f"{str(e)[:300]}; falling back to the XLA shared-L path",
+                  file=sys.stderr, flush=True)
+            fused = None
+            fused_mode = f"fallback ({type(e).__name__})"
     run_chunk = hmc.make_chunk_sampler(
         potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
         high=high, constraint="mandatory", alpha=1.0, chunk_size=chunk_size,
@@ -115,6 +133,21 @@ def main():
     jax.block_until_ready(ge_acc)
     elapsed = time.time() - t0
 
+    # ESS/s (BASELINE.json names it alongside grad-evals/s): autocorrelation
+    # ESS over a 128-parameter subsample of the device-resident sample
+    # buffer, computed ON DEVICE (diagnostics.ess_jax) — only the median
+    # scalar crosses the tunnelled link
+    try:
+        from gravinv3dhmc_tpu.diagnostics import ess_jax
+        sub = np.random.RandomState(0).choice(M, size=min(M, 128),
+                                              replace=False)
+        ess_med = jnp.median(ess_jax(carry[6][:, :, jnp.asarray(sub)]))
+        jax.block_until_ready(ess_med)
+    except Exception as e:  # noqa: BLE001 — diagnostics must not kill bench
+        print(f"WARNING: on-device ESS failed: {e!r:.200}",
+              file=sys.stderr, flush=True)
+        ess_med = None
+
     # exact counters need a (tiny) device->host read; the tunnelled link
     # can wedge on d2h entirely, so read them under a watchdog and fall
     # back to the expectation E[L] = (Lmin+Lmax)/2 = 12.5 of the known
@@ -124,6 +157,8 @@ def main():
     def _read():
         result_box["ge"] = int(ge_acc)
         result_box["ac"] = float(ac_acc)
+        if ess_med is not None:
+            result_box["ess"] = float(ess_med)
 
     import threading
     reader = threading.Thread(target=_read, daemon=True)
@@ -139,6 +174,14 @@ def main():
         count_mode = "expected (device->host link stalled)"
 
     value = grad_evals / elapsed
+    accept_ratio = accept_sum / max(stat_count, 1)
+    # the nsamples stored samples/chain took ~nsamples/accept_ratio
+    # iterations to collect at the measured per-iteration wall time
+    ess_per_s = None
+    if "ess" in result_box and np.isfinite(accept_ratio) and accept_ratio > 0:
+        iter_time = elapsed / (chunk_size * n_timed_chunks)
+        collect_time = (nsamples / accept_ratio) * iter_time
+        ess_per_s = result_box["ess"] / collect_time
     result = {
         "metric": "uniformgrid leapfrog grad-evals/s/chip",
         "value": round(value, 1),
@@ -149,16 +192,28 @@ def main():
             "nchains": nchains,
             "chunk_size": chunk_size,
             "shared_L": shared_L,
-            "fused_pallas_step": use_fused,
+            "fused_pallas_step": fused_mode,
             "problem": [int(dobs.size), int(M)],
             "iters_per_s": round(chunk_size * n_timed_chunks * nchains
                                  / elapsed, 1),
-            "accept_ratio": accept_sum / max(stat_count, 1),
+            "accept_ratio": accept_ratio,
             "grad_eval_count_mode": count_mode,
+            "ess_per_s_median": (round(ess_per_s, 1)
+                                 if ess_per_s is not None else None),
+            "ess_median_total": result_box.get("ess"),
         },
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # noqa: BLE001 — the bench must always land a number
+        import traceback
+        traceback.print_exc()
+        print("bench main() failed; retrying with the conservative XLA "
+              "configuration", file=sys.stderr, flush=True)
+        os.environ["BENCH_FUSED"] = "0"
+        os.environ["BENCH_NCHAINS"] = "256"
+        main()

@@ -107,6 +107,38 @@ def effective_sample_size(chains):
     return ess
 
 
+def ess_jax(chains):
+    """``effective_sample_size`` computed entirely on device.
+
+    ``chains`` is a (C, N, K) jax array; returns a (K,) device array of
+    total-ESS values (same Geyer initial-positive-sequence estimator as the
+    numpy version, with the stopping rule vectorized as a cumulative
+    positivity mask). Intended for TPU runs where transferring the sample
+    buffer to host is not an option (the tunnelled link stalls on bulk
+    copies — CLAUDE.md); callers pull back only a reduced scalar.
+    """
+    import jax.numpy as jnp
+
+    c, n, k = chains.shape
+    if n < 4:
+        return jnp.full((k,), float(c * n))
+    centered = chains - jnp.mean(chains, axis=1, keepdims=True)
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = jnp.fft.rfft(centered, nfft, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), nfft, axis=1)[:, :n].real / n
+    var0 = jnp.mean(acov[:, 0], axis=0)                     # (K,)
+    var_plus = var0 * n / (n - 1)
+    safe = jnp.where(var_plus == 0, 1.0, var_plus)
+    rho = 1.0 - (var0[None, :] - jnp.mean(acov, axis=0)) / safe  # (n, K)
+    # Geyer pairs rho_{2j+1} + rho_{2j+2}; include while all previous
+    # pairs were non-negative (cumulative mask replaces the while-loop)
+    npairs = (n - 1) // 2
+    pairs = (rho[1:1 + 2 * npairs].reshape(npairs, 2, k).sum(axis=1))
+    keep = jnp.cumprod((pairs >= 0).astype(rho.dtype), axis=0)
+    tau = jnp.maximum(1.0 + 2.0 * jnp.sum(pairs * keep, axis=0), 1.0)
+    return jnp.where(var_plus == 0, float(c * n), c * n / tau)
+
+
 def summarize(chains, dobs=None, dpre=None, truth=None, post_mean=None):
     """One-stop posterior summary dict."""
     mean, std = posterior_stats(chains)

@@ -332,6 +332,12 @@ class HamiltonianMC:
         #: per-chain marginal kernel. False reproduces the reference's
         #: independent per-chain draws exactly.
         self.shared_L = False
+        #: use the fused Pallas leapfrog step (ops/leapfrog_pallas.py) when
+        #: the configuration supports it (mandatory boundary, MS/Damping,
+        #: dense kernel). The step is compile-probed on the attached device
+        #: first and silently falls back to the XLA path on any Mosaic
+        #: rejection, so enabling this is always safe.
+        self.use_fused = False
         # filled by HMCSample()
         self.low = None
         self.high = None
@@ -351,6 +357,40 @@ class HamiltonianMC:
         except Exception:
             from ..runtime.sink_py import PySampleSink
             return [PySampleSink(f) for f in folders]
+
+    def _build_fused(self, nsamples):
+        """Compile-probe the fused Pallas leapfrog on the attached device;
+        return the step or None (-> XLA path) if the configuration or the
+        backend does not support it."""
+        if (self.constraint != "mandatory"
+                or self.regularization not in ("MS", "Damping")
+                or self.nchains % 32 != 0       # kernel tiles chains by 32
+                or self.adapt_mass              # fused uses identity metric
+                or (getattr(self.model, "Awcp", None) is not None
+                    and self.model.wavelet)):
+            return None
+        try:
+            from ..ops.leapfrog_pallas import make_fused_step
+            gfix = (np.asarray(self.model.grav_fix)
+                    if getattr(self.model, "fixed", False) else None)
+            fused = make_fused_step(
+                np.asarray(self.model.Aw),
+                np.asarray(self.dobs) - np.mean(self.dobs), gfix,
+                self.aprior_model, self.model.wdiag * self.model.wdiag,
+                self.low, self.high, regularization=self.regularization,
+                beta=self.beta)
+            M = self.initial_model.shape[0]
+            probe = jnp.zeros((32, M), self.dtype)
+            out = fused(probe, probe, jnp.asarray(self.dt, self.dtype),
+                        jnp.asarray(self.RegulFactor, self.dtype))
+            jax.block_until_ready(out[0])
+            return fused
+        except Exception as e:  # noqa: BLE001 — fall back on any rejection
+            if self.verbose:
+                print(f"fused Pallas step unavailable "
+                      f"({type(e).__name__}); using the XLA path",
+                      flush=True)
+            return None
 
     def sample(self, nsamples, ndraws, max_chunks=None, callback=None,
                checkpoint_path=None, checkpoint_every=20, resume=True):
@@ -383,6 +423,7 @@ class HamiltonianMC:
                 "Please choose right boundary constraint(mandatory, "
                 "logarithmic)!")
 
+        fused = self._build_fused(nsamples) if self.use_fused else None
         run_chunk = make_chunk_sampler(
             potential_fn, dt=self.dt, Lmin=self.Lrange[0],
             Lmax=self.Lrange[1], Sigma=self.Sigma, low=self.low,
@@ -391,7 +432,7 @@ class HamiltonianMC:
             nsamples=nsamples, ndraws=ndraws,
             wdiag_inv=self.model.wdiag_inv, data_size=self.dobs.shape[0],
             log_factor=self.log_factor, dtype=dtype,
-            shared_L=self.shared_L)
+            shared_L=self.shared_L or fused is not None, fused_step=fused)
 
         x = jnp.asarray(x0, dtype)
         U, g, (_, u_data, u_model) = potential_fn(x, self.RegulFactor)
@@ -422,30 +463,48 @@ class HamiltonianMC:
         grad_evals = 0
         if max_chunks is None:
             max_chunks = max(200, 100 * total // self.chunk_size + 10)
+
+        # device-side reduction of the per-chunk stats block: only a few
+        # SCALARS cross the link per chunk. At scale the raw stats are
+        # (chunk, C, 5) — 2.6 MB/chunk at 1024x128 — which the tunnelled
+        # TPU link cannot sustain (CLAUDE.md: stalls above ~100 KB).
+        @jax.jit
+        def _reduce_stats(stats, nacc):
+            return (jnp.isfinite(stats).all(),
+                    jnp.sum(stats[..., 4]),          # grad evals
+                    jnp.sum(stats[..., 0]),          # accepts this chunk
+                    jnp.mean(stats[..., 0]),         # chunk accept rate
+                    stats[-1, 0, 2], stats[-1, 0, 3],  # chain-0 ud/um
+                    jnp.min(nacc), jnp.sum(nacc))
+
         t0 = time.time()
         n_chunks = start_chunk
-        accepted = np.asarray(carry[5]).astype(np.int64)
+        acc_min = int(jnp.min(carry[5]))
+        acc_sum = int(jnp.sum(carry[5]))
         dt_cur = float(self.dt)
         inv_mass = None
         da = None
         if self.adapt_step_size:
             from .nuts import dual_averaging_init, dual_averaging_update
             da = dual_averaging_init(dt_cur, target=self.adapt_target)
-        while accepted.min() < total:
+        while acc_min < total:
             if n_chunks >= max_chunks:
                 print(f"WARNING: stopping after {n_chunks} chunks with "
-                      f"accepted counts {accepted.tolist()}")
+                      f"min accepted count {acc_min}")
                 break
             carry, stats_d = run_chunk(carry, base_key, n_chunks,
                                        pot_params, dt_cur, inv_mass)
-            # tiny transfers only: counters + (chunk, C, 5) stats
-            accepted = np.asarray(carry[5]).astype(np.int64)
-            stats_h = np.asarray(stats_d)
-            if not np.isfinite(stats_h).all():
+            (finite_d, ge_d, acc_chunk_d, acc_rate_d, ud_d, um_d,
+             amin_d, asum_d) = _reduce_stats(stats_d, carry[5])
+            # scalar transfers only
+            if not bool(finite_d):
                 # failure detection (the reference had none — its global run
                 # died silently to the OOM killer, SURVEY.md §5): stop with
-                # a diagnosis instead of writing poisoned samples
-                bad = np.flatnonzero(~np.isfinite(stats_h[..., 1]).all(0))
+                # a diagnosis instead of writing poisoned samples. The
+                # per-chain mask transfer (C bytes) happens only on failure.
+                chain_ok = np.asarray(
+                    jnp.isfinite(stats_d[..., 1]).all(axis=0))
+                bad = np.flatnonzero(~chain_ok)
                 raise FloatingPointError(
                     f"non-finite potential in chains {bad.tolist()} at "
                     f"chunk {n_chunks} (dt={self.dt}, Sigma={self.Sigma}); "
@@ -453,14 +512,16 @@ class HamiltonianMC:
                     + (f"Last good state: {checkpoint_path}"
                        if checkpoint_path else
                        "Set checkpoint_path to make such runs resumable."))
+            acc_min = int(amin_d)
+            acc_sum = int(asum_d)
             n_chunks += 1
             attempted += self.chunk_size * C
-            grad_evals += int(stats_h[..., 4].sum())
+            grad_evals += int(ge_d)
             if self.verbose:
-                frac = min(accepted.min() / total, 1.0)
-                ratio = accepted.sum() / attempted
-                ud_l = float(stats_h[-1, 0, 2])
-                um_l = float(stats_h[-1, 0, 3])
+                frac = min(acc_min / total, 1.0)
+                ratio = acc_sum / attempted
+                ud_l = float(ud_d)
+                um_l = float(um_d)
                 print("chain {}: {:.2%}, misfit(total, data, alpha, model)="
                       "({:.7f},{:.7f},{:.2f},{:.7f}) -- accept ratio {:.2%}"
                       .format(self.myrank, frac,
@@ -470,11 +531,10 @@ class HamiltonianMC:
                       flush=True)
             if (self.adapt_mass and inv_mass is None
                     and n_chunks >= self.adapt_chunks
-                    and int(accepted.min()) - ndraws >= 8):
+                    and acc_min - ndraws >= 8):
                 # device-side variance of the stored mw samples -> metric
                 wdiag_dev = jnp.asarray(self.model.wdiag, dtype)
-                n_use = int(min(np.minimum(accepted - ndraws,
-                                           nsamples).min(), nsamples))
+                n_use = int(min(acc_min - ndraws, nsamples))
                 mw_buf = carry[6][:, :n_use, :] * wdiag_dev
                 var = jnp.clip(jnp.var(mw_buf, axis=(0, 1)), 1e-12, None)
                 inv_mass = var  # Stan: inverse mass = posterior variance
@@ -483,7 +543,7 @@ class HamiltonianMC:
                           flush=True)
             if da is not None:
                 if n_chunks <= self.adapt_chunks:
-                    chunk_accept = float(stats_h[..., 0].mean())
+                    chunk_accept = float(acc_rate_d)
                     da = dual_averaging_update(da, chunk_accept)
                     dt_cur = float(np.exp(da["log_eps"]))
                 elif n_chunks == self.adapt_chunks + 1:
@@ -491,7 +551,8 @@ class HamiltonianMC:
                     if self.verbose:
                         print(f"adapted step size: {dt_cur:.5g}", flush=True)
             if callback is not None:
-                callback(accepted, carry[0])
+                # per-chain counters transfer only when a callback asks
+                callback(np.asarray(carry[5]).astype(np.int64), carry[0])
             if checkpoint_path and n_chunks % checkpoint_every == 0:
                 from ..checkpoint import save_state
                 save_state(checkpoint_path, carry, n_chunks, base_key,
@@ -502,7 +563,8 @@ class HamiltonianMC:
                        meta=ckpt_meta)
         elapsed = time.time() - t0
 
-        # one bulk transfer of the posterior buffers
+        # one bulk transfer of the posterior buffers + final counters
+        accepted = np.asarray(carry[5]).astype(np.int64)
         buf_m = np.asarray(carry[6], dtype=np.float64)
         buf_k = np.asarray(carry[7], dtype=np.float64)
         n_stored = np.minimum(np.maximum(accepted - ndraws, 0), nsamples)

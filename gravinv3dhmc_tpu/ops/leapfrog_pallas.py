@@ -141,6 +141,15 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
         _step_kernel, regularization=regularization, beta=float(beta),
         n_obs=float(D), matvec_dtype=matvec_dtype)
 
+    # Mosaic's default scoped-VMEM limit is 16 MB; the resident A + A^T
+    # (bf16) alone reach 15.4 MB at the 600x6000 flagship. v5e physical
+    # VMEM is far larger — raise the limit to what the buffers actually
+    # need (matrices + double-buffered chain tiles + elementwise
+    # intermediates, with 2x headroom), capped below the hardware size.
+    mat_bytes = 2 * Dp * Mp * jnp.dtype(matvec_dtype).itemsize
+    tile_bytes = 16 * tile_c * Mp * 4  # in/out x,p (double-buffered) + temps
+    vmem_limit = min(int(mat_bytes + 2 * tile_bytes + (1 << 22)), 120 << 20)
+
     def step(x, p, eps, alpha):
         C, Mx = x.shape
         assert Mx == M, (Mx, M)
@@ -149,17 +158,26 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
         pp = jnp.pad(p, ((0, 0), (0, Mp - M)))
         scal = jnp.stack([eps, alpha]).astype(jnp.float32).reshape(1, 2)
         n_tiles = C // tile_c
+        # index maps must return i32: the package enables jax_enable_x64
+        # globally, under which a bare python-int index map traces as i64
+        # and Mosaic rejects the block-index function
+        # ("failed to legalize 'func.return' (i64, i64)"). np.int32
+        # scalars trace as i32 literals (jnp constants would trip the
+        # no-captured-constants check on index maps).
+        tile_map = lambda i: (jax.lax.convert_element_type(i, np.int32),
+                              np.int32(0))
+        zero_map = lambda i: (np.int32(0), np.int32(0))
         vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                                  memory_space=pltpu.VMEM)
-        const = lambda shape: vspec(shape, lambda i: (0, 0))
+        const = lambda shape: vspec(shape, zero_map)
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                pl.BlockSpec((1, 2), zero_map,
                              memory_space=pltpu.SMEM),
-                vspec((tile_c, Mp), lambda i: (i, 0)),   # x
-                vspec((tile_c, Mp), lambda i: (i, 0)),   # p
+                vspec((tile_c, Mp), tile_map),            # x
+                vspec((tile_c, Mp), tile_map),            # p
                 const((Dp, Mp)),                          # A (resident)
                 const((Mp, Dp)),                          # A^T (resident)
                 const((1, Dp)),                           # dobs_centered
@@ -171,11 +189,11 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
                 const((1, Mp)),                           # high
             ],
             out_specs=[
-                vspec((tile_c, Mp), lambda i: (i, 0)),
-                vspec((tile_c, Mp), lambda i: (i, 0)),
-                vspec((tile_c, 1), lambda i: (i, 0)),
-                vspec((tile_c, 1), lambda i: (i, 0)),
-                vspec((tile_c, 1), lambda i: (i, 0)),
+                vspec((tile_c, Mp), tile_map),
+                vspec((tile_c, Mp), tile_map),
+                vspec((tile_c, 1), tile_map),
+                vspec((tile_c, 1), tile_map),
+                vspec((tile_c, 1), tile_map),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((C, Mp), jnp.float32),
@@ -185,6 +203,8 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
                 jax.ShapeDtypeStruct((C, 1), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
         )(scal, xp, pp, A_dev, At_dev, dobs_p, fix_p, dmask_p, aprior_p,
           wmsq_p, low_p, high_p)
         x2, p2, U, ud, um = out

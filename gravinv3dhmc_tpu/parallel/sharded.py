@@ -53,7 +53,7 @@ def make_mesh(n_devices=None, chains_axis=None, devices=None):
 
 def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
                            grav_fix=None, regularization="Damping",
-                           beta=0.01, dtype=jnp.float32):
+                           beta=0.01, wm_sq=None, dtype=jnp.float32):
     """Sharded potential-energy closure.
 
     ``Aw`` is placed with P(None, 'model') — column-sharded over ICI;
@@ -81,6 +81,13 @@ def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
         "high": jax.device_put(jnp.asarray(high, dtype), vec),
         "gfix": (jax.device_put(jnp.asarray(grav_fix, dtype), rep)
                  if grav_fix is not None else None),
+        # MS sensitivity weighting Wm^2 (single-chip:
+        # inversion/potential.py:334,377; reference:
+        # inversion/potential.py:719-736) — sharded like every other
+        # model-space vector
+        "wm_sq": jax.device_put(
+            jnp.asarray(wm_sq if wm_sq is not None
+                        else np.ones(np.shape(Aw)[1]), dtype), vec),
     }
     has_fix = grav_fix is not None
     beta = float(beta)
@@ -94,9 +101,9 @@ def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
         dm = mw - prm["aprior_mw"]
         if regularization == "Damping":
             u_model = jnp.sum(dm * dm)
-        else:  # MS with unit weighting in mw-space handled by caller scaling
+        else:  # MS, Wm^2-weighted like the single-chip potential
             dm2 = dm * dm
-            u_model = jnp.sum(dm2 / (dm2 + beta))
+            u_model = jnp.sum(prm["wm_sq"] * dm2 / (dm2 + beta))
         return u_data + alpha * u_model, (dpre, u_data, u_model)
 
     grad_fn = jax.value_and_grad(potential_scalar, has_aux=True)
