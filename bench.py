@@ -60,7 +60,14 @@ def main():
     # VMEM-resident bf16 kernel matrix, one HBM pass over (x, p) per step
     use_fused = os.environ.get("BENCH_FUSED", "1") != "0"
 
+    def stage(msg, _t=[time.time()]):
+        now = time.time()
+        print(f"[bench +{now - _t[0]:.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+        _t[0] = now
+
     module, dobs = build_problem()
+    stage("problem built (kernel matrix on host)")
     M = module.n_active
     wdiag = module.wdiag
     aprior = wdiag * np.full(M, 0.001)
@@ -74,40 +81,70 @@ def main():
         matvec_dtype=jnp.dtype(matvec_dtype) if matvec_dtype else None)
 
     nsamples = int(os.environ.get("BENCH_NSAMPLES", "64"))
+    fused_traj = None
     fused = None
     fused_mode = "off"
     if use_fused:
-        # compile-probe the fused Pallas step on THIS device before
-        # committing to it: a Mosaic rejection must never fail the bench
-        # (round-1 BENCH_r01.json rc=1 lesson) — fall back to the proven
-        # XLA shared-L path instead
-        try:
-            from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_step
-            fused = make_fused_step(
-                np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
-                None, aprior, module.wdiag * module.wdiag, low, high,
-                regularization="MS", beta=0.001)
-            probe_x = jnp.zeros((32, M), jnp.float32)
-            out = fused(probe_x, probe_x, jnp.float32(0.01),
-                        jnp.float32(1.0))
-            jax.block_until_ready(out[0])
-            fused_mode = "on"
-        except Exception as e:  # noqa: BLE001 — any compile failure
-            print(f"WARNING: fused Pallas step unavailable on "
-                  f"{jax.devices()[0]}: {type(e).__name__}: "
-                  f"{str(e)[:300]}; falling back to the XLA shared-L path",
-                  file=sys.stderr, flush=True)
-            fused = None
-            fused_mode = f"fallback ({type(e).__name__})"
+        # compile-probe the fused Pallas kernels on THIS device before
+        # committing to them: a Mosaic rejection must never fail the bench
+        # (round-1 BENCH_r01.json rc=1 lesson). Preference order:
+        # whole-trajectory kernel (chain state VMEM-resident across all L
+        # steps) -> per-step kernel -> XLA shared-L path.
+        fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
+                 None, aprior, module.wdiag * module.wdiag, low, high)
+        fkw = dict(regularization="MS", beta=0.001)
+        from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
+            make_fused_trajectory,
+        )
+        tile_env = os.environ.get("BENCH_TILE_C")
+        for tile_c in ([int(tile_env)] if tile_env else [128, 64, 32]):
+            try:
+                fused_traj = make_fused_trajectory(*fargs, tile_c=tile_c,
+                                                   **fkw)
+                probe_x = jnp.zeros((tile_c, M), jnp.float32)
+                out = fused_traj(probe_x, probe_x, jnp.int32(3),
+                                 jnp.float32(0.01), jnp.float32(1.0))
+                jax.block_until_ready(out[0])
+                fused_mode = f"trajectory(tile_c={tile_c})"
+                stage(f"fused Pallas trajectory probed OK (tile_c={tile_c})")
+                break
+            except Exception as e:  # noqa: BLE001 — any compile failure
+                print(f"WARNING: fused Pallas trajectory (tile_c={tile_c}) "
+                      f"unavailable on {jax.devices()[0]}: "
+                      f"{type(e).__name__}: {str(e)[:200]}",
+                      file=sys.stderr, flush=True)
+                fused_traj = None
+        if fused_traj is None:
+            try:
+                from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
+                    make_fused_step,
+                )
+                fused = make_fused_step(*fargs, **fkw)
+                probe_x = jnp.zeros((32, M), jnp.float32)
+                out = fused(probe_x, probe_x, jnp.float32(0.01),
+                            jnp.float32(1.0))
+                jax.block_until_ready(out[0])
+                fused_mode = "per-step"
+                stage("fused Pallas step probed OK")
+            except Exception as e:  # noqa: BLE001 — any compile failure
+                print(f"WARNING: fused Pallas step unavailable on "
+                      f"{jax.devices()[0]}: {type(e).__name__}: "
+                      f"{str(e)[:300]}; falling back to the XLA shared-L "
+                      "path", file=sys.stderr, flush=True)
+                fused = None
+                fused_mode = f"fallback ({type(e).__name__})"
+    stage("potential + fused setup done")
     run_chunk = hmc.make_chunk_sampler(
         potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
         high=high, constraint="mandatory", alpha=1.0, chunk_size=chunk_size,
         nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
         data_size=dobs.size, dtype=jnp.float32, shared_L=shared_L,
-        fused_step=fused)
+        fused_step=fused, fused_trajectory=fused_traj)
 
-    x = jnp.asarray(np.tile((wdiag * np.full(M, 0.001))[None, :],
-                            (nchains, 1)), jnp.float32)
+    # chain state built ON DEVICE: np.tile would be a (C, M) bulk h2d
+    # transfer (24.6 MB at 1024 chains), which the tunnelled link stalls on
+    wdiag_d = jnp.asarray(wdiag, jnp.float32)  # (M,) — tiny
+    x = jnp.broadcast_to(0.001 * wdiag_d, (nchains, M)).astype(jnp.float32)
     U, g, (_, u_data, u_model) = potential_fn(x, 1.0)
     carry = (x, U, g, u_data, u_model,
              jnp.zeros(nchains, jnp.int32),
@@ -118,6 +155,7 @@ def main():
     # warmup (compile)
     carry, stats = run_chunk(carry, base_key, 0, potential_fn.params)
     jax.block_until_ready(carry[0])
+    stage("warmup chunk compiled + ran")
 
     t0 = time.time()
     # accumulate counters on device; exactly two scalar transfers at the
@@ -132,6 +170,7 @@ def main():
         stat_count += stats.shape[0] * stats.shape[1]
     jax.block_until_ready(ge_acc)
     elapsed = time.time() - t0
+    stage(f"timed chunks done ({elapsed:.1f}s)")
 
     # ESS/s (BASELINE.json names it alongside grad-evals/s): autocorrelation
     # ESS over a 128-parameter subsample of the device-resident sample

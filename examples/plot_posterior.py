@@ -88,6 +88,39 @@ def main():
         out["RMSM_vs_file"] = diagnostics.rmsm(dense_mean, truth)
 
     os.makedirs(args.outdir, exist_ok=True)
+    if args.workload == "realdata":
+        # map-view posterior data figure with coastlines, the realdata
+        # plot-script pattern (reference:
+        # example/realdata/plot_real_multichain.py:179-199 — Basemap
+        # contourf + meridians/parallels; coastline drawn here from the
+        # topography zero contour, exact for the region)
+        import matplotlib.pyplot as plt
+
+        rd = W.realdata_southchina()
+        lons, lats, heights = rd["obs"]
+        dobs = rd["dobs"]
+        west, east = lons.min(), lons.max()
+        south, north = lats.min(), lats.max()
+        bm = vmpl.basemap((west, east, south, north), "merc")
+        nlat = np.unique(lats).size
+        nlon = lons.size // nlat
+        shape = (nlat, nlon)
+        grd = os.path.join(W.REFERENCE_DATA, "data", "topo_12d05d.grd")
+        coast_src = grd if os.path.exists(grd) else None
+        for name, vals in (("dobs", dobs),):
+            plt.figure(figsize=(7, 7))
+            vmpl.contourf(lons, lats, vals, shape, 15, basemap=bm)
+            plt.colorbar(label="mGal")
+            vmpl.draw_coastlines(bm, linewidth=1.0, source=coast_src)
+            vmpl.draw_countries(bm, linewidth=0.5)
+            bm.drawmeridians(np.linspace(west, east, 5), linewidth=0.2)
+            bm.drawparallels(np.linspace(south, north, 5), linewidth=0.2)
+            plt.gca().set_aspect("equal")
+            plt.title(f"realdata {name}")
+            plt.savefig(os.path.join(args.outdir, f"realdata_{name}.png"),
+                        dpi=200, bbox_inches="tight")
+            plt.close()
+        out["figures"] = args.outdir
     if mesh is not None:
         fig = vmpl.layers(mesh, dense_mean, suptitle="posterior mean")
         fig.savefig(os.path.join(args.outdir, "posterior_mean_layers.png"),

@@ -31,7 +31,8 @@ def cmd_hmc(args, builder, **defaults):
                   RegulFactor=args.RegulFactor,
                   regularization=args.regularization, beta=args.beta,
                   wavelet=args.wavelet, chunk_size=args.chunk_size,
-                  save_folder=args.save_folder, verbose=not args.quiet)
+                  save_folder=args.save_folder, verbose=not args.quiet,
+                  sampler=args.sampler, nwarmup=args.nwarmup)
     params.update(defaults)
     module, stats, mean, std, out = W.run_hmc(wl, dobs, **params)
     out["workload"] = args.workload
@@ -170,6 +171,13 @@ def main():
                              "bootstrap-southchina"])
     ap.add_argument("--nsamples", type=int, default=500)
     ap.add_argument("--ndraws", type=int, default=0)
+    ap.add_argument("--sampler", choices=["hmc", "nuts", "chees"],
+                    default="hmc",
+                    help="MCMC kernel: the reference's fixed-L HMC, or the "
+                         "adaptive NUTS / ChEES-HMC extensions")
+    ap.add_argument("--nwarmup", type=int, default=None,
+                    help="warm-up draws for nuts/chees (default: "
+                         "max(ndraws, 100))")
     ap.add_argument("--nchains", type=int, default=2)
     ap.add_argument("--chunk-size", type=int, dest="chunk_size", default=64)
     ap.add_argument("--delta", type=float, default=0.01)

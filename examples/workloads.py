@@ -238,8 +238,16 @@ def forward_with_noise(wl, noise=0.02, seed=1):
 def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             Lrange=(5, 20), Sigma=0.001, RegulFactor=1.0,
             regularization="MS", beta=0.001, wavelet=False, chunk_size=64,
-            save_folder=None, seed=100, verbose=True, kernel_cache=None):
-    """Shared HMC driver (reference: example/*/main_*.py pattern)."""
+            save_folder=None, seed=100, verbose=True, kernel_cache=None,
+            sampler="hmc", nwarmup=None):
+    """Shared sampling driver (reference: example/*/main_*.py pattern).
+
+    ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
+    fixed-L leapfrog HMC; ``'nuts'`` / ``'chees'`` — the adaptive
+    extensions (inversion/nuts.py, inversion/chees.py) with dual-averaging
+    step size; ``ndraws`` doubles as the warm-up length for those unless
+    ``nwarmup`` is given.
+    """
     mesh_kwargs = dict(wl.get("mesh_kwargs", {}))
     t0 = time.time()
     module = GravMagModule(dobs, wl["mrange"], wl["mspacing"], wl["obs"],
@@ -250,23 +258,58 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
     aprior = np.full(M, 0.001)
     boundaries = np.stack([np.full(M, wl["rhomin"]),
                            np.full(M, wl["rhomax"])], axis=1)
-    stats = hmc.HMCSample(
-        module, nsamples, ndraws, delta, list(Lrange), initial, aprior,
-        boundaries, "mandatory", 1000.0, dobs, RegulFactor=RegulFactor,
-        regularization=regularization, beta=beta, seed=seed, Sigma=Sigma,
-        save_folder=save_folder or "result/chain", nchains=nchains,
-        chunk_size=chunk_size, verbose=verbose,
-        write_files=save_folder is not None)
+    if sampler == "hmc":
+        stats = hmc.HMCSample(
+            module, nsamples, ndraws, delta, list(Lrange), initial, aprior,
+            boundaries, "mandatory", 1000.0, dobs, RegulFactor=RegulFactor,
+            regularization=regularization, beta=beta, seed=seed, Sigma=Sigma,
+            save_folder=save_folder or "result/chain", nchains=nchains,
+            chunk_size=chunk_size, verbose=verbose,
+            write_files=save_folder is not None)
+        chains = np.stack([stats["samples"][c, : int(stats["n_stored"][c])]
+                           for c in range(nchains)])
+    elif sampler in ("nuts", "chees"):
+        warm = nwarmup if nwarmup is not None else max(ndraws, 100)
+        kwargs = dict(RegulFactor=RegulFactor,
+                      regularization=regularization, beta=beta, seed=seed,
+                      step_size0=delta, nchains=nchains, verbose=verbose,
+                      save_folder=save_folder)
+        if sampler == "nuts":
+            from gravinv3dhmc_tpu.inversion.nuts import NUTSSample
+            stats = NUTSSample(module, nsamples, warm, initial, aprior,
+                               boundaries, dobs, **kwargs)
+        else:
+            from gravinv3dhmc_tpu.inversion.chees import CheesSample
+            stats = CheesSample(module, nsamples, warm, initial, aprior,
+                                boundaries, dobs, **kwargs)
+        chains = stats["samples"]
+        # derived throughput stats in the HMC result's vocabulary
+        if "grad_evals" in stats:
+            stats["grad_evals_per_s"] = (stats["grad_evals"]
+                                         / max(stats["elapsed_s"], 1e-9))
+        else:  # NUTS: 2^depth - 1 leapfrog steps per draw
+            stats["grad_evals_per_s"] = float("nan")
+        stats["accept_ratio"] = stats.get("mean_accept", float("nan"))
+    else:
+        raise ValueError(
+            "sampler must be one of 'hmc', 'nuts', 'chees'")
     total = time.time() - t0
-    chains = np.stack([stats["samples"][c, : int(stats["n_stored"][c])]
-                       for c in range(nchains)])
     mean, std = diagnostics.posterior_stats(chains)
     dpre_mean = module.A @ mean
     out = diagnostics.summarize(chains, dobs=dobs, dpre=dpre_mean,
                                 truth=wl.get("rho"), post_mean=mean)
-    out.update(total_s=total, sampling_s=stats["elapsed_s"],
+    out.update(sampler=sampler, total_s=total,
+               sampling_s=stats["elapsed_s"],
                grad_evals_per_s=stats["grad_evals_per_s"],
                accept_ratio=stats["accept_ratio"])
+    # ESS/s over a parameter subsample (north-star metric, BASELINE.json)
+    n_common = chains.shape[1]
+    if n_common >= 8:
+        sub = np.random.RandomState(0).choice(
+            M, size=min(M, 128), replace=False)
+        ess = diagnostics.effective_sample_size(chains[:, :, sub])
+        out["ess_per_s_median"] = (float(np.median(ess))
+                                   / max(stats["elapsed_s"], 1e-9))
     return module, stats, mean, std, out
 
 

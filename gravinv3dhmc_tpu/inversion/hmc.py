@@ -56,7 +56,8 @@ from .potential import logistic_to_mw, mw_to_logistic
 def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                        constraint, alpha, chunk_size, nsamples, ndraws,
                        wdiag_inv, data_size, log_factor=1000.0,
-                       dtype=jnp.float32, shared_L=False, fused_step=None):
+                       dtype=jnp.float32, shared_L=False, fused_step=None,
+                       fused_trajectory=None):
     """Build the jitted chunk kernel with a device-resident sample buffer.
 
     ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
@@ -82,7 +83,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     mandatory = constraint == "mandatory"
     reflective = constraint == "reflective"
     logarithmic = constraint == "logarithmic"
-    if fused_step is not None and not mandatory:
+    if (fused_step is not None or fused_trajectory is not None) \
+            and not mandatory:
         raise ValueError("the fused Pallas trajectory supports the "
                          "'mandatory' boundary constraint only")
     total = nsamples + ndraws
@@ -112,7 +114,16 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         # first half kick
         p = p0 - 0.5 * dt * g
 
-        if fused_step is not None:
+        if fused_trajectory is not None:
+            # single-invocation Pallas trajectory: the chain-state tile
+            # stays VMEM-resident across all L steps — x,p cross HBM once
+            # per TRAJECTORY, not once per step (ops/leapfrog_pallas.py
+            # make_fused_trajectory)
+            L_scalar = random.randint(kL, (), Lmin, Lmax + 1)
+            L = jnp.full((C,), L_scalar)
+            (x_new, p_new, g_new, U_new, ud_new,
+             um_new) = fused_trajectory(x, p, L_scalar, dt, alpha_c)
+        elif fused_step is not None:
             # fully-fused Pallas trajectory (ops/leapfrog_pallas.py):
             # shared L, 'mandatory' boundary, identity metric. The carried
             # gradient is recovered algebraically from the last two
@@ -274,7 +285,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         # random.split round-trips over a high-latency device link
         dt = jnp.asarray(dt, dtype)
         if inv_mass is not None:
-            if fused_step is not None:
+            if fused_step is not None or fused_trajectory is not None:
                 raise ValueError("the fused Pallas trajectory uses the "
                                  "identity metric; inv_mass unsupported")
             inv_mass = jnp.asarray(inv_mass, dtype)

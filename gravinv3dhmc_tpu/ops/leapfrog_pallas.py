@@ -100,6 +100,202 @@ def _step_kernel(scal_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref, fix_ref,
     um_out[:] = um
 
 
+def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
+                 fix_ref, dmask_ref, aprior_ref, wmsq_ref, low_ref, high_ref,
+                 x_out, p_out, g_out, U_out, ud_out, um_out, *,
+                 regularization, beta, n_obs, matvec_dtype):
+    """The WHOLE leapfrog trajectory in one kernel invocation.
+
+    The chain-state tile (x, p) stays VMEM-resident across all L steps:
+    HBM sees x,p once in and x,p,g once out per *trajectory* instead of
+    once per *step* — the step-level kernel (above) still paid
+    O(L) passes. L arrives as a runtime SMEM scalar; the body is a
+    ``lax.fori_loop`` with a dynamic trip count (supported by Mosaic).
+    """
+    eps = scal_ref[0, 0]
+    alpha = scal_ref[0, 1]
+    L = L_ref[0]
+    low = low_ref[:]
+    high = high_ref[:]
+    A = A_ref[:]
+    At = At_ref[:]
+    dobs = dobs_ref[:]
+    fix = fix_ref[:]
+    dmask = dmask_ref[:]
+    aprior = aprior_ref[:]
+    wmsq = wmsq_ref[:]
+    # loop-invariant regularizer scale hoisted out of the VPU-bound body
+    gm_scale = wmsq * (2.0 * beta)
+
+    # The body is deliberately lean on VPU work: the misfit VALUES
+    # (ud, um, U) are not reduced per step — only the final state's are
+    # needed, so the small masked residual r is carried and the sums run
+    # once after the loop. MS uses a single reciprocal (inv) instead of
+    # two divides; the boundary test is clip + compare instead of two
+    # comparisons + clip (reference semantics unchanged: negate exactly
+    # where the clamp moved the coordinate, inversion/hmc.py:135-141).
+    def body(_, s):
+        x, p, g, r = s
+        x = x + eps * p
+        xc = jnp.clip(x, low, high)
+        hit = x != xc
+        x = xc
+        p = jnp.where(hit, -p, p)
+        d = jax.lax.dot_general(
+            x.astype(matvec_dtype), At,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = d + fix
+        mean = jnp.sum(d, axis=1, keepdims=True) * (1.0 / n_obs)
+        r = ((d - mean) - dobs) * dmask
+        gdata = jax.lax.dot_general(
+            r.astype(matvec_dtype), A,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dm = x - aprior
+        if regularization == "MS":
+            inv = 1.0 / (dm * dm + beta)
+            gm = gm_scale * dm * (inv * inv)
+        else:  # Damping
+            gm = 2.0 * dm
+        g = 2.0 * gdata + alpha * gm
+        p = p - eps * g          # full kick; trailing half restored below
+        return (x, p, g, r)
+
+    r0 = jnp.zeros((x_ref.shape[0], dobs_ref.shape[1]), jnp.float32)
+    x, p, g, r = jax.lax.fori_loop(
+        0, L, body, (x_ref[:], p_ref[:], jnp.zeros_like(x_ref[:]), r0))
+    # misfit values of the final state (once per trajectory, not per step)
+    ud = jnp.sum(r * r, axis=1, keepdims=True)
+    dm = x - aprior
+    dm2 = dm * dm
+    if regularization == "MS":
+        um = jnp.sum(wmsq * dm2 / (dm2 + beta), axis=1, keepdims=True)
+    else:
+        um = jnp.sum(dm2, axis=1, keepdims=True)
+    x_out[:] = x
+    p_out[:] = p + 0.5 * eps * g   # undo half of the last full kick
+    g_out[:] = g
+    U_out[:] = ud + alpha * um
+    ud_out[:] = ud
+    um_out[:] = um
+
+
+def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
+                          high, *, regularization="MS", beta=0.001,
+                          tile_c=128, matvec_dtype=jnp.bfloat16,
+                          interpret=False):
+    """Build ``traj(x, p_half, L, eps, alpha) -> (x', p', g', U, ud, um)``.
+
+    ``p_half`` must already carry the leading half kick (the sampler does
+    it with the carried gradient); the returned ``p'`` includes the
+    trailing half kick and ``g'`` is the gradient at ``x'`` for the next
+    iteration's leading half kick. Semantics per step match
+    :func:`make_fused_step` (reference: inversion/hmc.py:105-155).
+    """
+    if regularization not in ("MS", "Damping"):
+        raise ValueError("fused trajectory supports MS/Damping only")
+    D, M = A.shape
+    Mp = _round_up(M, LANE)
+    Dp = _round_up(D, LANE)
+
+    def pad2(v, n):
+        v = np.asarray(v, np.float32).reshape(1, -1)
+        return np.pad(v, ((0, 0), (0, n - v.shape[1])))
+
+    A_p = np.zeros((Dp, Mp), np.float32)
+    A_p[:D, :M] = np.asarray(A, np.float32)
+    A_dev = jnp.asarray(A_p, matvec_dtype)
+    At_dev = jnp.asarray(A_p.T.copy(), matvec_dtype)
+    dobs_p = jnp.asarray(pad2(dobs_centered, Dp))
+    fix_p = jnp.asarray(pad2(grav_fix if grav_fix is not None
+                             else np.zeros(D), Dp))
+    aprior_p = jnp.asarray(pad2(aprior, Mp))
+    wmsq_p = jnp.asarray(pad2(wm_sq, Mp))
+    low_p = jnp.asarray(pad2(low, Mp))
+    high_p = jnp.asarray(pad2(high, Mp))
+    dmask = np.zeros((1, Dp), np.float32)
+    dmask[0, :D] = 1.0
+    dmask_p = jnp.asarray(dmask)
+
+    kernel = functools.partial(
+        _traj_kernel, regularization=regularization, beta=float(beta),
+        n_obs=float(D), matvec_dtype=matvec_dtype)
+
+    # the dynamic-trip-count loop keeps far more temporaries live than the
+    # straight-line step kernel (measured: 45.8 MB at tile_c=8 on v5e, i.e.
+    # ~2x the resident matrices + ~30 buffers of loop state) — budget
+    # generously and cap below the hardware size; callers probe-compile
+    # and step down tile_c on failure
+    mat_bytes = 2 * Dp * Mp * jnp.dtype(matvec_dtype).itemsize
+    tile_bytes = 30 * tile_c * Mp * 4
+    vmem_limit = min(int(2 * mat_bytes + tile_bytes + (1 << 24)), 120 << 20)
+
+    def traj(x, p, L, eps, alpha):
+        C, Mx = x.shape
+        assert Mx == M, (Mx, M)
+        assert C % tile_c == 0, (C, tile_c)
+        xp = jnp.pad(x, ((0, 0), (0, Mp - M)))
+        pp = jnp.pad(p, ((0, 0), (0, Mp - M)))
+        scal = jnp.stack([eps, alpha]).astype(jnp.float32).reshape(1, 2)
+        Ls = jnp.asarray(L, jnp.int32).reshape(1)
+        n_tiles = C // tile_c
+        tile_map = lambda i: (jax.lax.convert_element_type(i, np.int32),
+                              np.int32(0))
+        zero_map = lambda i: (np.int32(0), np.int32(0))
+        vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                                 memory_space=pltpu.VMEM)
+        const = lambda shape: vspec(shape, zero_map)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 2), zero_map, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                             memory_space=pltpu.SMEM),
+                vspec((tile_c, Mp), tile_map),            # x
+                vspec((tile_c, Mp), tile_map),            # p
+                const((Dp, Mp)),                          # A (resident)
+                const((Mp, Dp)),                          # A^T (resident)
+                const((1, Dp)),                           # dobs_centered
+                const((1, Dp)),                           # grav_fix
+                const((1, Dp)),                           # dmask
+                const((1, Mp)),                           # aprior
+                const((1, Mp)),                           # wm_sq
+                const((1, Mp)),                           # low
+                const((1, Mp)),                           # high
+            ],
+            out_specs=[
+                vspec((tile_c, Mp), tile_map),
+                vspec((tile_c, Mp), tile_map),
+                vspec((tile_c, Mp), tile_map),
+                vspec((tile_c, 1), tile_map),
+                vspec((tile_c, 1), tile_map),
+                vspec((tile_c, 1), tile_map),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((C, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((C, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((C, 1), jnp.float32),
+                jax.ShapeDtypeStruct((C, 1), jnp.float32),
+                jax.ShapeDtypeStruct((C, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
+        )(scal, Ls, xp, pp, A_dev, At_dev, dobs_p, fix_p, dmask_p,
+          aprior_p, wmsq_p, low_p, high_p)
+        x2, p2, g2, U, ud, um = out
+        return (x2[:, :M], p2[:, :M], g2[:, :M], U[:, 0], ud[:, 0],
+                um[:, 0])
+
+    traj.D = D
+    traj.M = M
+    traj.tile_c = tile_c
+    return traj
+
+
 def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
                     regularization="MS", beta=0.001, tile_c=32,
                     matvec_dtype=jnp.bfloat16, interpret=False):

@@ -11,7 +11,7 @@ implemented directly for the projections the reference accepts.
 """
 from __future__ import annotations
 
-import warnings
+
 
 import numpy as np
 
@@ -86,8 +86,9 @@ def basemap(area, projection, resolution="c"):
     (reference: vis/mpl.py:113-182).
 
     Returns a :class:`SimpleProjection` with the Basemap calling
-    convention; ``resolution`` (a coastline-dataset knob) is accepted and
-    ignored because no coastline data ships with the framework.
+    convention; ``resolution`` (Basemap's coastline-dataset knob) is
+    accepted for call compatibility — coastline fidelity is chosen by the
+    ``source`` argument of :func:`draw_coastlines` instead.
     """
     if projection not in ["ortho", "aeqd", "geos", "robin", "cass", "merc",
                           "poly", "lcc", "stere", "cyl"]:
@@ -127,19 +128,40 @@ def draw_geolines(area, dlon, dlat, basemap, linewidth=1):
     draw_geolines_parallels(basemap, parallels, linewidth=linewidth)
 
 
-def draw_countries(basemap, linewidth=1, style="dashed"):
-    """Country borders (reference: vis/mpl.py:75-93). No political-border
-    dataset ships with the framework (offline build); warns and draws
-    nothing rather than failing the surrounding plot script."""
-    warnings.warn("draw_countries: no border dataset bundled; skipping",
-                  stacklevel=2)
+def _draw_segments(bm, segments, linewidth, style, color, ax=None):
+    plt = _mpl()
+    ax = ax or plt.gca()
+    ls = {"solid": "-", "dashed": "--", "dotted": ":"}.get(style, style)
+    for seg in segments:
+        x, y = bm(seg[:, 0], seg[:, 1])
+        ax.plot(x, y, ls, color=color, linewidth=linewidth)
 
 
-def draw_coastlines(basemap, linewidth=1, style="solid"):
-    """Coastlines (reference: vis/mpl.py:94-112). Same situation as
-    :func:`draw_countries` — warns and draws nothing."""
-    warnings.warn("draw_coastlines: no coastline dataset bundled; skipping",
-                  stacklevel=2)
+def draw_countries(basemap, linewidth=1, style="dashed", source=None,
+                   ax=None):
+    """Country borders (reference: vis/mpl.py:75-93, which delegated to
+    the dead Basemap toolkit's datasets).
+
+    Draws from the embedded coarse border set
+    (:mod:`gravinv3dhmc_tpu.vis.geodata` — orientation quality, ~2-5
+    degree fidelity) or from a user ``source`` polyline file
+    (GMT/psxy-style ``lon lat`` segments)."""
+    from .geodata import border_segments
+    segs = border_segments(area=basemap.area, source=source)
+    _draw_segments(basemap, segs, linewidth, style, "0.4", ax)
+
+
+def draw_coastlines(basemap, linewidth=1, style="solid", source=None,
+                    ax=None):
+    """Coastlines (reference: vis/mpl.py:94-112).
+
+    Data sources, in order of fidelity: a user ``source`` polyline file;
+    a Surfer topography ``.grd`` whose zero contour is the exact regional
+    coastline (pass its path as ``source`` — the realdata workload's
+    ``topo_12d05d.grd`` works directly); the embedded coarse world set."""
+    from .geodata import coastline_segments
+    segs = coastline_segments(area=basemap.area, source=source)
+    _draw_segments(basemap, segs, linewidth, style, "k", ax)
 
 
 def m2km(axis=None):
@@ -164,11 +186,13 @@ def _grid(x, y, v, shape):
 def contour(x, y, v, shape, levels, interp=False, color="k", label=None,
             clabel=True, style="solid", linewidth=1.0, basemap=None):
     """Contour lines of a flattened regular grid
-    (reference: vis/mpl.py:250-310)."""
-    if basemap is not None:
-        raise NotImplementedError("Basemap is unsupported; use cartopy axes")
+    (reference: vis/mpl.py:250-310). With ``basemap`` (a
+    :class:`SimpleProjection`), x/y are lon/lat and are projected first,
+    matching the reference's Basemap branch."""
     plt = _mpl()
     X, Y, V = _grid(x, y, v, shape)
+    if basemap is not None:
+        X, Y = basemap(X, Y)
     kwargs = dict(colors=color, linestyles=style, linewidths=linewidth)
     ct = plt.contour(X, Y, V, levels, **kwargs)
     if clabel:
@@ -180,13 +204,14 @@ def contour(x, y, v, shape, levels, interp=False, color="k", label=None,
 
 def contourf(x, y, v, shape, levels, interp=False, cmap=None, basemap=None):
     """Filled contours of a flattened regular grid
-    (reference: vis/mpl.py:313-370)."""
-    if basemap is not None:
-        raise NotImplementedError("Basemap is unsupported; use cartopy axes")
+    (reference: vis/mpl.py:313-370; realdata plot scripts pass
+    ``basemap=`` — example/realdata/plot_real_multichain.py:182)."""
     plt = _mpl()
     if cmap is None:
         cmap = plt.cm.jet
     X, Y, V = _grid(x, y, v, shape)
+    if basemap is not None:
+        X, Y = basemap(X, Y)
     ct = plt.contourf(X, Y, V, levels, cmap=cmap)
     return ct.levels
 
@@ -194,9 +219,14 @@ def contourf(x, y, v, shape, levels, interp=False, cmap=None, basemap=None):
 def pcolor(x, y, v, shape, cmap=None, vmin=None, vmax=None, basemap=None):
     """Pseudo-color plot of a flattened regular grid
     (reference: vis/mpl.py:373-435)."""
-    if basemap is not None:
-        raise NotImplementedError("Basemap is unsupported; use cartopy axes")
     plt = _mpl()
+    if basemap is not None:
+        X, Y, V = _grid(x, y, v, shape)
+        X, Y = basemap(X, Y)
+        if cmap is None:
+            cmap = plt.cm.jet
+        return plt.pcolormesh(X, Y, V, cmap=cmap, vmin=vmin, vmax=vmax,
+                              shading="auto")
     if cmap is None:
         cmap = plt.cm.jet
     X, Y, V = _grid(x, y, v, shape)

@@ -13,7 +13,10 @@ import jax.numpy as jnp
 from jax import random
 
 from gravinv3dhmc_tpu.inversion import hmc
-from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_step
+from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
+    make_fused_step,
+    make_fused_trajectory,
+)
 
 
 def _setup(module, dobs, reg="MS"):
@@ -110,6 +113,59 @@ def test_fused_trajectory_matches_shared_L(small_module, reg):
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(s_x[..., 1]),
                                np.asarray(s_f[..., 1]), rtol=1e-3)
+
+
+@pytest.mark.parametrize("reg", ["MS", "Damping"])
+def test_fused_trajectory_kernel_matches_shared_L(small_module, reg):
+    """The whole-trajectory kernel (one pallas_call per L steps, chain
+    state VMEM-resident) drives a sampling chunk to the same result as the
+    XLA shared-L engine."""
+    module, dobs, _ = small_module
+    pot, _, low, high, aprior = _setup(module, dobs, reg)
+    M = module.n_active
+    wdiag = module.wdiag
+    ftraj = make_fused_trajectory(
+        np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs), None,
+        aprior, wdiag * wdiag, low, high, regularization=reg, beta=0.001,
+        tile_c=8, matvec_dtype=jnp.float32, interpret=True)
+    C, nsamples, chunk = 8, 16, 24
+
+    def build(fused):
+        return hmc.make_chunk_sampler(
+            pot, dt=0.01, Lmin=3, Lmax=8, Sigma=0.001, low=low, high=high,
+            constraint="mandatory", alpha=1.0, chunk_size=chunk,
+            nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
+            data_size=dobs.size, dtype=jnp.float32, shared_L=True,
+            fused_trajectory=ftraj if fused else None)
+
+    x0 = jnp.asarray(np.tile(np.full(M, 0.3, np.float32)[None, :] *
+                             np.asarray(module.wdiag, np.float32),
+                             (C, 1)), jnp.float32)
+    U, g, (_, ud, um) = pot(x0, 1.0)
+
+    def carry0():
+        return (x0, U, g, ud, um, jnp.zeros(C, jnp.int32),
+                jnp.zeros((C, nsamples, M), jnp.float32),
+                jnp.zeros((C, nsamples, 7), jnp.float32))
+
+    key = random.PRNGKey(42)
+    c_x, s_x = build(False)(carry0(), key, 0, pot.params)
+    c_f, s_f = build(True)(carry0(), key, 0, pot.params)
+
+    np.testing.assert_array_equal(np.asarray(s_x[..., 0]),
+                                  np.asarray(s_f[..., 0]))
+    np.testing.assert_array_equal(np.asarray(s_x[..., 4]),
+                                  np.asarray(s_f[..., 4]))
+    np.testing.assert_array_equal(np.asarray(c_x[5]), np.asarray(c_f[5]))
+    np.testing.assert_allclose(np.asarray(c_x[0]), np.asarray(c_f[0]),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(c_x[6]), np.asarray(c_f[6]),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(s_x[..., 1]),
+                               np.asarray(s_f[..., 1]), rtol=1e-3)
+    # the carried gradient must also match (it seeds the next half kick)
+    np.testing.assert_allclose(np.asarray(c_x[2]), np.asarray(c_f[2]),
+                               rtol=5e-3, atol=5e-3)
 
 
 def test_fused_rejects_bad_config(small_module):

@@ -66,6 +66,35 @@ def test_sharded_potential_matches_unsharded(problem):
                                rtol=1e-8, atol=1e-12)
 
 
+def test_sharded_ms_potential_matches_unsharded(problem):
+    """Sharded MS must apply the Wm^2 sensitivity weighting exactly like
+    the single-chip potential (inversion/potential.py:334,377; reference
+    inversion/potential.py:719-736) — round-1 dropped it silently."""
+    module, dobs = problem
+    M = module.n_active
+    wdiag = module.wdiag
+    apr = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    mesh = make_mesh(8)
+    pot_sh, _ = make_sharded_potential(mesh, module.Aw, dobs, apr, low,
+                                       high, regularization="MS",
+                                       beta=0.001, wm_sq=wdiag * wdiag,
+                                       dtype=jnp.float64)
+    pot_ref = module.make_potential(apr, low, high, regularization="MS",
+                                    beta=0.001, dtype=jnp.float64)
+    rng = np.random.RandomState(1)
+    xb = rng.uniform(0.2, 0.8, (4, M)) * wdiag[None, :]
+    u_sh, g_sh, aux_sh = pot_sh(xb, 0.5)
+    u_ref, g_ref, aux_ref = pot_ref(xb, 0.5)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(aux_sh[2]), np.asarray(aux_ref[2]),
+                               rtol=1e-10)  # the U_model term specifically
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-12)
+
+
 def test_sharded_chunk_runs_and_accepts(problem):
     module, dobs = problem
     M = module.n_active

@@ -58,16 +58,35 @@ def test_basemap_merc_monotone():
     assert np.all(np.diff(y) > 0)
 
 
-def test_draw_geolines_and_stub_warnings():
-    area = (100, 120, 18, 32)
+def test_draw_geolines_coastlines_countries():
+    area = (100, 130, 5, 45)  # East Asia: coast + borders both present
     m = vmpl.basemap(area, "merc")
     plt.figure()
     vmpl.draw_geolines(area, 5, 5, m)
-    assert len(plt.gca().lines) > 0
-    with pytest.warns(UserWarning):
-        vmpl.draw_countries(m)
-    with pytest.warns(UserWarning):
-        vmpl.draw_coastlines(m)
+    n0 = len(plt.gca().lines)
+    assert n0 > 0
+    vmpl.draw_coastlines(m)  # embedded coarse world set
+    n1 = len(plt.gca().lines)
+    assert n1 > n0, "draw_coastlines drew nothing"
+    vmpl.draw_countries(m)
+    assert len(plt.gca().lines) > n1, "draw_countries drew nothing"
+
+
+def test_coastline_from_topo_grd():
+    """Exact regional coastline from a Surfer grid's zero contour; also
+    covers the binary DSRB reader (the reference's own realdata grids are
+    DSRB, which its DSAA-only loader could not open)."""
+    import os
+    from gravinv3dhmc_tpu.vis.geodata import coastline_from_topo_grd
+    grd = "/root/reference/example/realdata/data/topo_12d05d.grd"
+    if not os.path.exists(grd):
+        pytest.skip("reference realdata grid not present")
+    segs = coastline_from_topo_grd(grd)
+    assert segs, "no zero-contour segments found"
+    allpts = np.vstack(segs)
+    # contour vertices stay inside the grid's lon/lat window
+    assert allpts[:, 0].min() >= 106.0 and allpts[:, 0].max() <= 119.0
+    assert allpts[:, 1].min() >= 15.5 and allpts[:, 1].max() <= 28.5
 
 
 def _small_mesh():
