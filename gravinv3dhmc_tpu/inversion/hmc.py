@@ -349,6 +349,12 @@ class HamiltonianMC:
         #: first and silently falls back to the XLA path on any Mosaic
         #: rejection, so enabling this is always safe.
         self.use_fused = False
+        #: transfer the posterior sample buffers to host at the end of
+        #: sample(). Set False on a high-latency/tunnelled device link:
+        #: the run then moves ONLY scalars end to end — ESS is computed on
+        #: device (diagnostics.ess_jax), results keep device arrays in
+        #: 'samples_device', and file writing is skipped.
+        self.transfer_samples = True
         # filled by HMCSample()
         self.low = None
         self.high = None
@@ -574,16 +580,43 @@ class HamiltonianMC:
                        meta=ckpt_meta)
         elapsed = time.time() - t0
 
-        # one bulk transfer of the posterior buffers + final counters
-        accepted = np.asarray(carry[5]).astype(np.int64)
+        accepted = np.asarray(carry[5]).astype(np.int64)  # (C,) ints
+        n_stored = np.minimum(np.maximum(accepted - ndraws, 0), nsamples)
+        n_common = int(n_stored.min())
+
+        if not self.transfer_samples:
+            # tunnel-safe finish: scalars only. ESS on device, buffers stay.
+            ess_per_s = None
+            if n_common >= 8:
+                from ..diagnostics import ess_jax
+                sub = np.random.RandomState(0).choice(
+                    M, size=min(M, 128), replace=False)
+                ess = ess_jax(carry[6][:, :n_common, jnp.asarray(sub)])
+                ess_per_s = float(jnp.median(ess)) / max(elapsed, 1e-9)
+            return {
+                "samples": None,
+                "samples_device": carry[6],
+                "misfits": None,
+                "misfits_device": carry[7],
+                "n_stored": n_stored,
+                "folders": [],
+                "accepted": accepted.tolist(),
+                "attempted": attempted,
+                "accept_ratio": float(accepted.sum()) / max(attempted, 1),
+                "elapsed_s": elapsed,
+                "grad_evals": grad_evals,
+                "grad_evals_per_s": grad_evals / max(elapsed, 1e-9),
+                "step_size": dt_cur,
+                "ess_per_s_median": ess_per_s,
+            }
+
+        # one bulk transfer of the posterior buffers
         buf_m = np.asarray(carry[6], dtype=np.float64)
         buf_k = np.asarray(carry[7], dtype=np.float64)
-        n_stored = np.minimum(np.maximum(accepted - ndraws, 0), nsamples)
 
         # ESS/s over a parameter subsample (north-star metric,
         # BASELINE.json; full-M autocorrelation would dominate runtime)
         ess_per_s = None
-        n_common = int(n_stored.min())
         if n_common >= 8:
             from ..diagnostics import effective_sample_size
             rng = np.random.RandomState(0)

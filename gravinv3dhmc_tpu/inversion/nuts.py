@@ -407,15 +407,18 @@ def NUTSSample(model, nsamples, nwarmup, initial_model, aprior_model,
                         log_factor, xp=np)
     wdiag_inv = np.asarray(model.wdiag_inv)
     samples = mw * wdiag_inv[None, None, :]
-    n_leap = int(np.asarray(stats["depths"]).astype(np.int64).sum())
+    depths = np.asarray(stats["depths"]).astype(np.int64)
     out = {
         "samples": samples,
         "step_size": np.asarray(stats["step_size"]),
         "inv_mass": np.asarray(stats["inv_mass"]),
         "mean_accept": float(np.mean(np.asarray(stats["accept_probs"]))),
-        "mean_depth": float(np.mean(np.asarray(stats["depths"]))),
+        "mean_depth": float(np.mean(depths)),
         "divergences": int(np.asarray(stats["divergences"]).sum()),
         "elapsed_s": elapsed,
+        # a depth-d tree evaluates 2^d - 1 new leapfrog gradients
+        # (sampling phase only; warmup trees are not counted)
+        "grad_evals": int((2 ** depths - 1).sum()),
     }
     if save_folder is not None:
         try:

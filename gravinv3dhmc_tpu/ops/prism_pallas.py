@@ -112,14 +112,20 @@ def gz_kernel_matrix_pallas(obs, cells, scale, interpret=False):
     cells_p = cells_p.at[:6, :M].set(cells.astype(jnp.float32).T)
 
     grid = (Dp // TILE_O, Mp // TILE_C)
+    # index maps must return i32 under the package-wide jax_enable_x64
+    # (same Mosaic i64 legalization failure as ops/leapfrog_pallas.py)
+    _i32 = lambda v: jax.lax.convert_element_type(v, np.int32)
     out = pl.pallas_call(
         _gz_tile_kernel,
         out_shape=jax.ShapeDtypeStruct((Dp, Mp), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec((TILE_O, 3), lambda i, j: (i, 0),
+        in_specs=[pl.BlockSpec((TILE_O, 3),
+                               lambda i, j: (_i32(i), np.int32(0)),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((8, TILE_C), lambda i, j: (0, j))],
-        out_specs=pl.BlockSpec((TILE_O, TILE_C), lambda i, j: (i, j)),
+                  pl.BlockSpec((8, TILE_C),
+                               lambda i, j: (np.int32(0), _i32(j)))],
+        out_specs=pl.BlockSpec((TILE_O, TILE_C),
+                               lambda i, j: (_i32(i), _i32(j))),
         interpret=interpret,
     )(obs_p, cells_p)
     return out[:D, :M] * scale

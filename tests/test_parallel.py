@@ -138,3 +138,20 @@ def test_cross_chain_psum_diagnostics(problem):
 
     assert float(global_accept_rate(acc)) == pytest.approx(
         float(np.arange(8.0).reshape(4, 2).sum(axis=1).mean()))
+
+
+def test_multihost_chain_slicing(monkeypatch):
+    """chains_for_host / host_seed partition the global chain batch the way
+    the reference partitions MPI ranks (seed + myrank, one folder per
+    rank — reference: inversion/hmc.py:368-369)."""
+    from gravinv3dhmc_tpu.parallel import multihost
+
+    starts = []
+    for pid in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        lo, hi = multihost.chains_for_host(32)
+        assert hi - lo == 8
+        starts.append(lo)
+        assert multihost.host_seed(100) == 100 + pid
+    assert starts == [0, 8, 16, 24]
