@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 from jax import random
 
+from gravinv3dhmc_tpu.runtime.compile_cache import enable_compile_cache
+
+# persistent XLA compile cache: first-ever run pays the full remote AOT
+# compile (minutes at bench scale over the tunnelled link); every later
+# run replays it in seconds
+enable_compile_cache()
+
 from gravinv3dhmc_tpu import mesher, utils
 from gravinv3dhmc_tpu.inversion import hmc
 from gravinv3dhmc_tpu.inversion.potential import GravMagModule

@@ -42,7 +42,8 @@ def cmd_hmc(args, builder, **defaults):
 
 def cmd_global(args):
     wl = W.global_tess(scale=args.scale)
-    dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise)
+    dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise,
+                                      kernel_cache=args.kernel_cache)
     module, stats, mean, std, out = W.run_hmc(
         wl, dobs, nsamples=args.nsamples, nchains=args.nchains,
         delta=0.005, Lrange=(5, 20), Sigma=0.001, RegulFactor=0.05,

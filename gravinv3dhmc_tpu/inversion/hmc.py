@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -278,7 +279,10 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                            L.astype(dtype)], axis=-1)  # (C, 5)
         return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
 
-    @jax.jit
+    # carry donation: the (C, nsamples, M) sample buffer dominates the
+    # carry (1.6 GB at bench scale); donating it lets XLA update it in
+    # place instead of copying it every chunk
+    @partial(jax.jit, donate_argnums=(0,))
     def run_chunk(carry, base_key, chunk_idx, params, dt=dt_default,
                   inv_mass=None):
         # key derivation inside jit: one dispatch per chunk, no eager
