@@ -32,7 +32,9 @@ def cmd_hmc(args, builder, **defaults):
                   regularization=args.regularization, beta=args.beta,
                   wavelet=args.wavelet, chunk_size=args.chunk_size,
                   save_folder=args.save_folder, verbose=not args.quiet,
-                  sampler=args.sampler, nwarmup=args.nwarmup)
+                  sampler=args.sampler, nwarmup=args.nwarmup,
+                  temperature=args.temperature,
+                  adapt_step_size=args.adapt_step_size)
     params.update(defaults)
     module, stats, mean, std, out = W.run_hmc(wl, dobs, **params)
     out["workload"] = args.workload
@@ -202,6 +204,16 @@ def main():
     ap.add_argument("--attempt", type=int, default=0,
                     help="line index into --setpmts (the reference's CLI "
                          "integer, main_uniform.py:105)")
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="adaptive-sampler target exp(-U/T): 1.0 = the "
+                         "proper Bayesian posterior (default); Sigma^2 "
+                         "approximates the reference quirk's effective "
+                         "target")
+    ap.add_argument("--adapt-step-size", dest="adapt_step_size",
+                    action="store_true",
+                    help="dual-averaging warmup for the fixed-L HMC "
+                         "sampler (extension; the reference keeps dt "
+                         "fixed)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 

@@ -247,7 +247,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             Lrange=(5, 20), Sigma=0.001, RegulFactor=1.0,
             regularization="MS", beta=0.001, wavelet=False, chunk_size=64,
             save_folder=None, seed=100, verbose=True, kernel_cache=None,
-            sampler="hmc", nwarmup=None):
+            sampler="hmc", nwarmup=None, temperature=None,
+            adapt_step_size=False):
     """Shared sampling driver (reference: example/*/main_*.py pattern).
 
     ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
@@ -273,15 +274,22 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             regularization=regularization, beta=beta, seed=seed, Sigma=Sigma,
             save_folder=save_folder or "result/chain", nchains=nchains,
             chunk_size=chunk_size, verbose=verbose,
-            write_files=save_folder is not None)
+            write_files=save_folder is not None,
+            adapt_step_size=adapt_step_size)
         chains = np.stack([stats["samples"][c, : int(stats["n_stored"][c])]
                            for c in range(nchains)])
     elif sampler in ("nuts", "chees"):
         warm = nwarmup if nwarmup is not None else max(ndraws, 100)
+        # temperature: the adaptive samplers target exp(-U/T) with the
+        # PROPER Jacobian-corrected box transform. T=1 (default) is the
+        # honest Bayesian posterior; T=Sigma^2 approximates the effective
+        # target of the reference's p ~ N(0, Sigma^2) unit-mass quirk
+        # (see GravMagModule.make_potential temperature).
         kwargs = dict(RegulFactor=RegulFactor,
                       regularization=regularization, beta=beta, seed=seed,
                       step_size0=delta, nchains=nchains, verbose=verbose,
-                      save_folder=save_folder)
+                      save_folder=save_folder,
+                      temperature=temperature if temperature else 1.0)
         if sampler == "nuts":
             from gravinv3dhmc_tpu.inversion.nuts import NUTSSample
             stats = NUTSSample(module, nsamples, warm, initial, aprior,

@@ -96,8 +96,14 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     else:
         pot_raw = lambda x, a, _p: potential_fn(x, a)
 
+    # resident Pallas arrays threaded as jit arguments (embedding them as
+    # closure constants ships ~15 MB of executable over the tunnelled
+    # link on every compile / cache load)
+    fused_prm = getattr(fused_trajectory, "params",
+                        getattr(fused_step, "params", None))
+
     def one_iteration(carry, key_P):
-        key, P, dt, inv_mass = key_P
+        key, P, dt, inv_mass, fprm = key_P
         x, U, g, u_data, u_model, nacc, buf_m, buf_k = carry
         potential_fn = lambda xx, aa: pot_raw(xx, aa, P)
         C = x.shape[0]
@@ -123,7 +129,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             L_scalar = random.randint(kL, (), Lmin, Lmax + 1)
             L = jnp.full((C,), L_scalar)
             (x_new, p_new, g_new, U_new, ud_new,
-             um_new) = fused_trajectory(x, p, L_scalar, dt, alpha_c)
+             um_new) = fused_trajectory(x, p, L_scalar, dt, alpha_c,
+                                        params=fprm)
         elif fused_step is not None:
             # fully-fused Pallas trajectory (ops/leapfrog_pallas.py):
             # shared L, 'mandatory' boundary, identity metric. The carried
@@ -138,7 +145,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
 
             def fused_body(i, s):
                 xx, pp, _, _, UU, ud_c, um_c = s
-                x2, p2, U2, ud2, um2 = fused_step(xx, pp, dt, alpha_c)
+                x2, p2, U2, ud2, um2 = fused_step(xx, pp, dt, alpha_c,
+                                                  params=fprm)
                 return (x2, p2, xx, pp, U2, ud2, um2)
 
             (x_new, p_full, x_prev, p_prev, U_new, ud_new,
@@ -283,22 +291,28 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     # carry (1.6 GB at bench scale); donating it lets XLA update it in
     # place instead of copying it every chunk
     @partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(carry, base_key, chunk_idx, params, dt=dt_default,
-                  inv_mass=None):
+    def _run_chunk_impl(carry, base_key, chunk_idx, params, fprm, dt,
+                        inv_mass):
         # key derivation inside jit: one dispatch per chunk, no eager
         # random.split round-trips over a high-latency device link
         dt = jnp.asarray(dt, dtype)
         if inv_mass is not None:
-            if fused_step is not None or fused_trajectory is not None:
-                raise ValueError("the fused Pallas trajectory uses the "
-                                 "identity metric; inv_mass unsupported")
             inv_mass = jnp.asarray(inv_mass, dtype)
         key = random.fold_in(base_key, chunk_idx)
         keys = random.split(key, chunk_size)
         carry, stats = lax.scan(
-            lambda c, k: one_iteration(c, (k, params, dt, inv_mass)),
+            lambda c, k: one_iteration(c, (k, params, dt, inv_mass, fprm)),
             carry, keys)
         return carry, stats
+
+    def run_chunk(carry, base_key, chunk_idx, params, dt=dt_default,
+                  inv_mass=None):
+        if inv_mass is not None and (fused_step is not None
+                                     or fused_trajectory is not None):
+            raise ValueError("the fused Pallas trajectory uses the "
+                             "identity metric; inv_mass unsupported")
+        return _run_chunk_impl(carry, base_key, chunk_idx, params,
+                               fused_prm, dt, inv_mass)
 
     return run_chunk
 
@@ -663,7 +677,9 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
               regularization="Damping", beta=0.01, seed=100, Sigma=1.0,
               nbest=100, myrank=0, save_folder="mychain", plotsamples=False,
               im=(0, 0), nchains=1, chunk_size=64, dtype=jnp.float32,
-              verbose=True, write_files=True):
+              verbose=True, write_files=True, adapt_step_size=False,
+              adapt_target=0.8, shared_L=False, use_fused=False,
+              transfer_samples=True):
     """Reference-compatible chain factory (inversion/hmc.py:358-403).
 
     ``nchains`` extends the reference: instead of one chain per MPI rank,
@@ -691,6 +707,11 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
     chain.dtype = dtype
     chain.verbose = verbose
     chain.write_files = write_files
+    chain.adapt_step_size = adapt_step_size
+    chain.adapt_target = adapt_target
+    chain.shared_L = shared_L
+    chain.use_fused = use_fused
+    chain.transfer_samples = transfer_samples
 
     boundaries = np.asarray(boundaries, dtype=np.float64)
     wdiag = np.asarray(model.wdiag)

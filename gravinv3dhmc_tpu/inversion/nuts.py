@@ -354,7 +354,7 @@ def NUTSSample(model, nsamples, nwarmup, initial_model, aprior_model,
                boundaries, dobs, RegulFactor=1.0, regularization="Damping",
                beta=0.01, seed=100, log_factor=100.0, step_size0=0.05,
                max_depth=8, myrank=0, save_folder=None, nchains=2,
-               dtype=jnp.float32, verbose=True):
+               dtype=jnp.float32, verbose=True, temperature=1.0):
     """Adaptive multi-chain NUTS on a :class:`GravMagModule` potential.
 
     The counterpart of :func:`hmc.HMCSample` for NUTS: the box constraint
@@ -376,7 +376,7 @@ def NUTSSample(model, nsamples, nwarmup, initial_model, aprior_model,
     batched = model.make_potential(
         aprior_mw, low, high, constraint="logarithmic",
         log_factor=log_factor, regularization=regularization, beta=beta,
-        dtype=dtype)
+        dtype=dtype, jacobian=True, temperature=temperature)
 
     x0 = mw_to_logistic(np.clip(init_mw, low + 1e-9 * (high - low + 1e-30),
                                 high - 1e-9 * (high - low + 1e-30)),

@@ -296,7 +296,7 @@ class GravMagModule:
     def make_potential(self, aprior_mw, low, high, constraint="mandatory",
                        log_factor=1000.0, regularization="Damping",
                        beta=0.01, use_wavelet=None, dtype=None,
-                       matvec_dtype=None):
+                       matvec_dtype=None, jacobian=False, temperature=1.0):
         """Return jittable ``U(x, alpha) -> (U, (dpre, U_data, U_model))``.
 
         ``x`` may be a single model (M,) or a chain batch (C, M) — all
@@ -391,7 +391,29 @@ class GravMagModule:
                 mw = x
             u_data, dpre = data_term(mw, P)
             u_model = model_term(mw, P)
-            return u_data + alpha * u_model, (dpre, u_data, u_model)
+            # temperature: target exp(-U/T). The reference's sampler draws
+            # p ~ N(0, Sigma^2) under a unit-mass kinetic
+            # (inversion/hmc.py:44-50,95), which makes its stationary
+            # distribution ~= exp(-U/Sigma^2); adaptive samplers pass
+            # temperature=Sigma^2 to explore that same effective target
+            # with CORRECT dynamics instead of reproducing the quirk.
+            U = (u_data + alpha * u_model) * (1.0 / float(temperature))
+            if constraint == "logarithmic" and jacobian:
+                # -log|dmw/dx|: makes the x-space target PROPER (uniform
+                # in mw within the box). The reference omits this
+                # (inversion/potential.py:812-845 — its clamp-HMC tolerates
+                # the improper tails), but trajectory-adaptive samplers
+                # (NUTS/ChEES) random-walk to |x| -> inf without it.
+                # dmw/dx = (high-low) * k * s(1-s);
+                # -log s(1-s) = softplus(kx) + softplus(-kx)
+                kx = lf * x
+                width = P["high"] - P["low"]
+                log_const = jnp.where(width > 0,
+                                      jnp.log(jnp.where(width > 0, width,
+                                                        1.0) * lf), 0.0)
+                U = U + jnp.sum(jax.nn.softplus(kx) + jax.nn.softplus(-kx)
+                                - log_const)
+            return U, (dpre, u_data, u_model)
 
         grad_fn = jax.value_and_grad(potential_scalar, has_aux=True)
 

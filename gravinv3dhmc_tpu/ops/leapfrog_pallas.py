@@ -218,6 +218,17 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     dmask[0, :D] = 1.0
     dmask_p = jnp.asarray(dmask)
 
+    # the resident arrays are exposed as a params pytree so outer jits can
+    # thread them as ARGUMENTS: captured in a closure they would be traced
+    # as constants and embedded in the executable (15.4 MB of bf16 matrix
+    # at the flagship scale), which the tunnelled link then re-ships on
+    # every compile / cache load
+    fused_params = {
+        "A": A_dev, "At": At_dev, "dobs": dobs_p, "fix": fix_p,
+        "dmask": dmask_p, "aprior": aprior_p, "wmsq": wmsq_p,
+        "low": low_p, "high": high_p,
+    }
+
     kernel = functools.partial(
         _traj_kernel, regularization=regularization, beta=float(beta),
         n_obs=float(D), matvec_dtype=matvec_dtype)
@@ -231,7 +242,8 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     tile_bytes = 30 * tile_c * Mp * 4
     vmem_limit = min(int(2 * mat_bytes + tile_bytes + (1 << 24)), 120 << 20)
 
-    def traj(x, p, L, eps, alpha):
+    def traj(x, p, L, eps, alpha, params=None):
+        prm = fused_params if params is None else params
         C, Mx = x.shape
         assert Mx == M, (Mx, M)
         assert C % tile_c == 0, (C, tile_c)
@@ -284,8 +296,9 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
-        )(scal, Ls, xp, pp, A_dev, At_dev, dobs_p, fix_p, dmask_p,
-          aprior_p, wmsq_p, low_p, high_p)
+        )(scal, Ls, xp, pp, prm["A"], prm["At"], prm["dobs"], prm["fix"],
+          prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
+          prm["high"])
         x2, p2, g2, U, ud, um = out
         return (x2[:, :M], p2[:, :M], g2[:, :M], U[:, 0], ud[:, 0],
                 um[:, 0])
@@ -293,6 +306,7 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     traj.D = D
     traj.M = M
     traj.tile_c = tile_c
+    traj.params = fused_params
     return traj
 
 
@@ -333,6 +347,14 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
     dmask[0, :D] = 1.0
     dmask_p = jnp.asarray(dmask)
 
+    # see make_fused_trajectory: resident arrays as a threadable pytree,
+    # not closure constants
+    fused_params = {
+        "A": A_dev, "At": At_dev, "dobs": dobs_p, "fix": fix_p,
+        "dmask": dmask_p, "aprior": aprior_p, "wmsq": wmsq_p,
+        "low": low_p, "high": high_p,
+    }
+
     kernel = functools.partial(
         _step_kernel, regularization=regularization, beta=float(beta),
         n_obs=float(D), matvec_dtype=matvec_dtype)
@@ -346,7 +368,8 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
     tile_bytes = 16 * tile_c * Mp * 4  # in/out x,p (double-buffered) + temps
     vmem_limit = min(int(mat_bytes + 2 * tile_bytes + (1 << 22)), 120 << 20)
 
-    def step(x, p, eps, alpha):
+    def step(x, p, eps, alpha, params=None):
+        prm = fused_params if params is None else params
         C, Mx = x.shape
         assert Mx == M, (Mx, M)
         assert C % tile_c == 0, (C, tile_c)
@@ -401,11 +424,13 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
-        )(scal, xp, pp, A_dev, At_dev, dobs_p, fix_p, dmask_p, aprior_p,
-          wmsq_p, low_p, high_p)
+        )(scal, xp, pp, prm["A"], prm["At"], prm["dobs"], prm["fix"],
+          prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
+          prm["high"])
         x2, p2, U, ud, um = out
         return (x2[:, :M], p2[:, :M], U[:, 0], ud[:, 0], um[:, 0])
 
     step.D = D
     step.M = M
+    step.params = fused_params
     return step

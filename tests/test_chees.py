@@ -73,7 +73,7 @@ def test_chees_sample_inversion(small_module):
         boundaries=np.column_stack([np.zeros(M), np.ones(M)]),
         dobs=dobs, RegulFactor=1.0, regularization="Damping",
         seed=7, log_factor=100.0, step_size0=0.05, nchains=8,
-        verbose=False)
+        verbose=False, temperature=0.1)
     samples = res["samples"]  # (C, N, M)
     assert np.isfinite(samples).all()
     assert 0.2 < res["mean_accept"] <= 1.0

@@ -92,7 +92,11 @@ def test_fused_trajectory_matches_shared_L(small_module, reg):
     U, g, (_, ud, um) = pot(x0, 1.0)
 
     def carry0():
-        return (x0, U, g, ud, um, jnp.zeros(C, jnp.int32),
+        # fresh copies per sampler: run_chunk DONATES the carry (the
+        # arrays are deleted after the call), so the two paths cannot
+        # share leaves
+        return (jnp.array(x0), jnp.array(U), jnp.array(g), jnp.array(ud),
+                jnp.array(um), jnp.zeros(C, jnp.int32),
                 jnp.zeros((C, nsamples, M), jnp.float32),
                 jnp.zeros((C, nsamples, 7), jnp.float32))
 
@@ -144,7 +148,11 @@ def test_fused_trajectory_kernel_matches_shared_L(small_module, reg):
     U, g, (_, ud, um) = pot(x0, 1.0)
 
     def carry0():
-        return (x0, U, g, ud, um, jnp.zeros(C, jnp.int32),
+        # fresh copies per sampler: run_chunk DONATES the carry (the
+        # arrays are deleted after the call), so the two paths cannot
+        # share leaves
+        return (jnp.array(x0), jnp.array(U), jnp.array(g), jnp.array(ud),
+                jnp.array(um), jnp.zeros(C, jnp.int32),
                 jnp.zeros((C, nsamples, M), jnp.float32),
                 jnp.zeros((C, nsamples, 7), jnp.float32))
 
