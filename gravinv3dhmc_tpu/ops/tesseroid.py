@@ -404,6 +404,154 @@ def tesseroid_kernel_matrix(field, lon, lat, height, mesh_or_cells,
     return kernel
 
 
+def subdivision_mask(lon, lat, height, cells, ratio, obs_block=512):
+    """Host: (obs_idx, cell_idx) pairs whose ROOT tesseroid the adaptive
+    engine would subdivide (``distance <= ratio * size`` on any axis,
+    reference: gravmag/_tesseroid_numba.py:135-157).
+
+    These are the near-field pairs where depth-0 GLQ is insufficient;
+    everything else evaluates exactly like the adaptive engine's leaf
+    pass. Vectorised over obs blocks to bound the (B, M) temporaries.
+    """
+    lon_r = np.radians(np.asarray(lon, np.float64).ravel())
+    lat_r = np.radians(np.asarray(lat, np.float64).ravel())
+    sinlat = np.sin(lat_r)
+    coslat = np.cos(lat_r)
+    radius = MEAN_EARTH_RADIUS + np.asarray(height, np.float64).ravel()
+    cells = np.asarray(cells, np.float64)
+    D, M = lon_r.size, cells.shape[0]
+    oi_parts, ci_parts = [], []
+    cell_idx = np.arange(M)
+    for s0 in range(0, D, obs_block):
+        s1 = min(s0 + obs_block, D)
+        B = s1 - s0
+        lo = np.repeat(lon_r[s0:s1], M)
+        sl = np.repeat(sinlat[s0:s1], M)
+        cl = np.repeat(coslat[s0:s1], M)
+        ra = np.repeat(radius[s0:s1], M)
+        b = np.tile(cells, (B, 1))
+        d, Llon, Llat, Lr = _distance_size(lo, cl, sl, ra, b)
+        nlon, nlat, nr, _ = _split_axis_counts(d, Llon, Llat, Lr, ratio)
+        flat = np.flatnonzero(nlon * nlat * nr > 1)
+        oi_parts.append(s0 + flat // M)
+        ci_parts.append(cell_idx[flat % M])
+    return (np.concatenate(oi_parts).astype(np.int32),
+            np.concatenate(ci_parts).astype(np.int32))
+
+
+def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
+                            ratio=None, host_kernel=None, obs_block=32,
+                            winv=None, dtype=None):
+    """Dense (D, M) sensitivity matrix built ON DEVICE — the link-safe
+    path for kernels too large to ship over a slow host<->device link.
+
+    The adaptive engine's subdivision decision depends only on geometry:
+    far-field pairs (the overwhelming majority at whole-Earth scale)
+    evaluate at depth 0, i.e. one 2x2x2 GLQ of the root tesseroid — a
+    closed-form jnp computation the device can do from the (M, 6) cell
+    bounds plus the observation coordinates (~KBs of h2d). Near-field
+    pairs (``subdivision_mask``) are overwritten with exact host-engine
+    values, shipped as a sparse (idx, value) correction. Total h2d:
+    geometry + corrections instead of the dense D x M matrix (2.1 GB for
+    the reference's global case, reference: example/global/logout_T1.txt).
+
+    ``host_kernel``: optional host (D, M) array (e.g. the cached f64
+    kernel) to source correction values; otherwise the native/numpy host
+    engine computes just the masked pairs. ``winv``: optional (M,) column
+    scaling folded in on device (sensitivity weighting). Returns a jax
+    array in output units (field scaling applied).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    if field not in _SCALES:
+        raise ValueError(f"unknown tesseroid field {field!r}")
+    ratio = _RATIOS[field] if ratio is None else ratio
+    cells = _tess_cells(mesh_or_cells)
+    lon = np.asarray(lon, np.float64).ravel()
+    lat = np.asarray(lat, np.float64).ravel()
+    height = np.asarray(height, np.float64).ravel()
+    D, M = lon.size, cells.shape[0]
+    kname = "potential" if field == "geoid" else field
+
+    # --- far field: depth-0 GLQ on device -----------------------------
+    lonc, sinlatc, coslatc, rc, scale = _glq_nodes(cells, np)
+    scale_all = scale * _SCALES[field]
+    if winv is not None:
+        scale_all = scale_all * np.asarray(winv, np.float64)
+    # geometry h2d: 5 (M, 2)/(M,) f32 arrays + 4 (D,) obs arrays (~3 MB
+    # at global scale)
+    lonc_d = jnp.asarray(lonc, dtype)
+    sinlatc_d = jnp.asarray(sinlatc, dtype)
+    coslatc_d = jnp.asarray(coslatc, dtype)
+    rc_d = jnp.asarray(rc, dtype)
+    scale_d = jnp.asarray(scale_all, dtype)
+    lon_r = np.radians(lon)
+    lat_r = np.radians(lat)
+    obs_d = (jnp.asarray(lon_r, dtype), jnp.asarray(np.sin(lat_r), dtype),
+             jnp.asarray(np.cos(lat_r), dtype),
+             jnp.asarray(MEAN_EARTH_RADIUS + height, dtype))
+
+    kfn = _make_kernels(jnp)[kname]
+
+    def one_obs(lo, sl, cl, ra):
+        full = lambda v: jnp.full((M,), v, dtype)
+        return scale_d * kfn(full(lo), full(sl), full(cl), full(ra),
+                             lonc_d, sinlatc_d, coslatc_d, rc_d)
+
+    block_fn = jax.jit(jax.vmap(one_obs))
+    rows = []
+    for s0 in range(0, D, obs_block):
+        s1 = min(s0 + obs_block, D)
+        rows.append(block_fn(*(o[s0:s1] for o in obs_d)))
+    kernel = jnp.concatenate(rows, axis=0)
+
+    # --- near field: exact host-engine values scattered in ------------
+    oi, ci = subdivision_mask(lon, lat, height, cells, ratio)
+    if oi.size:
+        if host_kernel is not None:
+            vals = np.asarray(host_kernel)[oi, ci].astype(np.float64)
+        else:
+            # evaluate ONLY the masked pairs with the host worklist engine
+            vals = np.empty(oi.size, np.float64)
+            order = np.argsort(oi, kind="stable")
+            oi_s, ci_s = oi[order], ci[order]
+            starts = np.flatnonzero(np.r_[True, oi_s[1:] != oi_s[:-1]])
+            ends = np.r_[starts[1:], oi_s.size]
+            lon_rr = np.radians(lon)
+            sinla = np.sin(np.radians(lat))
+            cosla = np.cos(np.radians(lat))
+            rad = MEAN_EARTH_RADIUS + height
+            kfn_np = _NP_KERNELS[kname]
+            for a, b in zip(starts, ends):
+                o = oi_s[a]
+                sub = cells[ci_s[a:b]]
+                p_obs, p_cell, leaf_b = adaptive_leaves(
+                    lon_rr[o:o + 1], sinla[o:o + 1], cosla[o:o + 1],
+                    rad[o:o + 1], sub, ratio)
+                lc, slc, clc, rcn, sc = _glq_nodes(leaf_b, np)
+                v = sc * kfn_np(np.full(p_obs.size, lon_rr[o]),
+                                np.full(p_obs.size, sinla[o]),
+                                np.full(p_obs.size, cosla[o]),
+                                np.full(p_obs.size, rad[o]),
+                                lc, slc, clc, rcn)
+                row = np.zeros(sub.shape[0])
+                np.add.at(row, p_cell, v)
+                vals[order[a:b]] = row * _SCALES[field]
+        if winv is not None:
+            corr_scale = np.asarray(winv, np.float64)[ci]
+            vals = vals * corr_scale
+        # corrections travel as jit ARGUMENTS: the eager device_put path
+        # stalls on bulk copies over tunnelled links, the argument-upload
+        # path sustains tens of MB/s
+        scatter = jax.jit(
+            lambda K, o, c, v: K.at[o, c].set(v), donate_argnums=(0,))
+        kernel = scatter(kernel, oi.astype(np.int32), ci.astype(np.int32),
+                         vals.astype(np.dtype(jnp.dtype(dtype).name)))
+    return kernel, (oi, ci)
+
+
 def _tess_field(field):
     def compute(lon, lat, height, model, dens=None, ratio=None, njobs=1,
                 pool=None, **_ignored):

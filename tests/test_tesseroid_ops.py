@@ -206,3 +206,38 @@ class TestReferenceEngineParity:
         if k_cpp is not None:
             np.testing.assert_allclose(k_cpp, k_ref, rtol=1e-12,
                                        atol=1e-300)
+
+
+def test_device_kernel_matches_host():
+    """The device-side far-field + host near-field kernel builder
+    (ops/tesseroid.tesseroid_kernel_device) reproduces the host adaptive
+    engine to f32 rounding — both with cached-kernel corrections and with
+    engine-computed corrections (the link-safe global path)."""
+    import jax.numpy as jnp
+    from gravinv3dhmc_tpu.ops import tesseroid as tess
+
+    cells = np.array([
+        [-10.0, 10.0, -10.0, 10.0, 0.0, -5e4],
+        [10.0, 30.0, -10.0, 10.0, 0.0, -5e4],
+        [150.0, 170.0, 40.0, 60.0, -5e4, -1e5],
+    ])
+    lons, lats = np.meshgrid(np.linspace(-30, 40, 6),
+                             np.linspace(-25, 25, 5))
+    lons, lats = lons.ravel(), lats.ravel()
+    heights = np.full(lons.size, 5e3)
+
+    k_host = tess.tesseroid_kernel_matrix("gz", lons, lats, heights, cells)
+    scale = np.abs(k_host).max()
+    for kwargs in (dict(host_kernel=k_host), dict()):
+        k_dev, (oi, ci) = tess.tesseroid_kernel_device(
+            "gz", lons, lats, heights, cells, obs_block=7, **kwargs)
+        assert k_dev.dtype == jnp.float32
+        assert oi.size > 0  # the near cells must need subdivision
+        err = np.abs(np.asarray(k_dev, np.float64) - k_host).max() / scale
+        assert err < 1e-5, err
+    # winv folding
+    winv = np.linspace(0.5, 2.0, cells.shape[0])
+    k_w, _ = tess.tesseroid_kernel_device(
+        "gz", lons, lats, heights, cells, host_kernel=k_host, winv=winv)
+    err = np.abs(np.asarray(k_w, np.float64) - k_host * winv).max() / scale
+    assert err < 1e-5, err
