@@ -1,265 +1,21 @@
-"""Benchmark: leapfrog gradient-evaluations per second per chip.
-
-Runs the reference's flagship uniformgrid HMC workload (600 obs x 6000
-cells, reference: example/uniformgrid/) with vmapped chains on whatever
-device JAX provides (TPU on the driver) and reports useful leapfrog
-gradient evaluations per second — the north-star metric of BASELINE.json.
-
-Baseline: the reference sustains ~220 grad-evals/s/chain across 2 MPI
-chains on a 72-CPU node => 440/s total (BASELINE.md "Derived" table).
+"""Driver entry point — delegates to :mod:`gravinv3dhmc_tpu.bench`.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Prefer ``pip install -e . && python -m gravinv3dhmc_tpu.bench``; this shim
+only exists so the driver can run ``python bench.py`` from an uninstalled
+checkout.
 """
-import json
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+try:
+    import gravinv3dhmc_tpu  # noqa: F401 — installed?
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
-
-import jax
-import jax.numpy as jnp
-from jax import random
-
-from gravinv3dhmc_tpu.runtime.compile_cache import enable_compile_cache
-
-# persistent XLA compile cache: first-ever run pays the full remote AOT
-# compile (minutes at bench scale over the tunnelled link); every later
-# run replays it in seconds
-enable_compile_cache()
-
-from gravinv3dhmc_tpu import mesher, utils
-from gravinv3dhmc_tpu.inversion import hmc
-from gravinv3dhmc_tpu.inversion.potential import GravMagModule
-from gravinv3dhmc_tpu.ops import prism
-
-BASELINE_GRAD_EVALS_PER_S = 440.0  # 2 chains x ~220/s (BASELINE.md)
-
-
-def build_problem():
-    dx = dy = dz = 100
-    nx, ny, nz = 20, 30, 10
-    bounds = (0, nx * dx, 0, ny * dy, 0, nz * dz)
-    mesh = mesher.PrismMesh(bounds, (dz, dy, dx))
-    rho = np.zeros((nz, ny, nx))
-    rho[2:5, 10:18, 7:11] = 1.0
-    mesh.addprop("density", rho.ravel())
-    xo, yo, zo = utils.regular((0, nx * dx, 0, ny * dy), (nx, ny), z=0.0)
-    gz_pre, _ = prism.gz(xo, yo, zo, mesh)
-    dobs = utils.contaminate(gz_pre, 0.02 * gz_pre.max(), seed=1)
-    module = GravMagModule(dobs, bounds, (dz, dy, dx), (xo, yo, zo),
-                           verbose=False)
-    return module, dobs
-
-
-def main():
-    nchains = int(os.environ.get("BENCH_NCHAINS", "1024"))
-    chunk_size = int(os.environ.get("BENCH_CHUNK", "128"))
-    n_timed_chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
-    # shared trajectory length per iteration: every device step is a
-    # useful grad eval (the masked per-chain-L scan wastes
-    # (Lmax-E[L])/Lmax of its steps); measured ~2x on v5e
-    shared_L = os.environ.get("BENCH_SHARED_L", "1") != "0"
-    # fully-fused Pallas leapfrog step (ops/leapfrog_pallas.py):
-    # VMEM-resident bf16 kernel matrix, one HBM pass over (x, p) per step
-    use_fused = os.environ.get("BENCH_FUSED", "1") != "0"
-
-    def stage(msg, _t=[time.time()]):
-        now = time.time()
-        print(f"[bench +{now - _t[0]:.1f}s] {msg}", file=sys.stderr,
-              flush=True)
-        _t[0] = now
-
-    module, dobs = build_problem()
-    stage("problem built (kernel matrix on host)")
-    M = module.n_active
-    wdiag = module.wdiag
-    aprior = wdiag * np.full(M, 0.001)
-    low = wdiag * np.zeros(M)
-    high = wdiag * np.ones(M)
-
-    matvec_dtype = os.environ.get("BENCH_MATVEC_DTYPE")
-    potential_fn = module.make_potential(
-        aprior, low, high, constraint="mandatory", regularization="MS",
-        beta=0.001, dtype=jnp.float32,
-        matvec_dtype=jnp.dtype(matvec_dtype) if matvec_dtype else None)
-
-    nsamples = int(os.environ.get("BENCH_NSAMPLES", "64"))
-    fused_traj = None
-    fused = None
-    fused_mode = "off"
-    if use_fused:
-        # compile-probe the fused Pallas kernels on THIS device before
-        # committing to them: a Mosaic rejection must never fail the bench
-        # (round-1 BENCH_r01.json rc=1 lesson). Preference order:
-        # whole-trajectory kernel (chain state VMEM-resident across all L
-        # steps) -> per-step kernel -> XLA shared-L path.
-        fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
-                 None, aprior, module.wdiag * module.wdiag, low, high)
-        fkw = dict(regularization="MS", beta=0.001)
-        from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
-            make_fused_trajectory,
-        )
-        tile_env = os.environ.get("BENCH_TILE_C")
-        for tile_c in ([int(tile_env)] if tile_env else [128, 64, 32]):
-            try:
-                fused_traj = make_fused_trajectory(*fargs, tile_c=tile_c,
-                                                   **fkw)
-                probe_x = jnp.zeros((tile_c, M), jnp.float32)
-                out = fused_traj(probe_x, probe_x, jnp.int32(3),
-                                 jnp.float32(0.01), jnp.float32(1.0))
-                jax.block_until_ready(out[0])
-                fused_mode = f"trajectory(tile_c={tile_c})"
-                stage(f"fused Pallas trajectory probed OK (tile_c={tile_c})")
-                break
-            except Exception as e:  # noqa: BLE001 — any compile failure
-                print(f"WARNING: fused Pallas trajectory (tile_c={tile_c}) "
-                      f"unavailable on {jax.devices()[0]}: "
-                      f"{type(e).__name__}: {str(e)[:200]}",
-                      file=sys.stderr, flush=True)
-                fused_traj = None
-        if fused_traj is None:
-            try:
-                from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
-                    make_fused_step,
-                )
-                fused = make_fused_step(*fargs, **fkw)
-                probe_x = jnp.zeros((32, M), jnp.float32)
-                out = fused(probe_x, probe_x, jnp.float32(0.01),
-                            jnp.float32(1.0))
-                jax.block_until_ready(out[0])
-                fused_mode = "per-step"
-                stage("fused Pallas step probed OK")
-            except Exception as e:  # noqa: BLE001 — any compile failure
-                print(f"WARNING: fused Pallas step unavailable on "
-                      f"{jax.devices()[0]}: {type(e).__name__}: "
-                      f"{str(e)[:300]}; falling back to the XLA shared-L "
-                      "path", file=sys.stderr, flush=True)
-                fused = None
-                fused_mode = f"fallback ({type(e).__name__})"
-    stage("potential + fused setup done")
-    run_chunk = hmc.make_chunk_sampler(
-        potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
-        high=high, constraint="mandatory", alpha=1.0, chunk_size=chunk_size,
-        nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
-        data_size=dobs.size, dtype=jnp.float32, shared_L=shared_L,
-        fused_step=fused, fused_trajectory=fused_traj)
-
-    # chain state built ON DEVICE: np.tile would be a (C, M) bulk h2d
-    # transfer (24.6 MB at 1024 chains), which the tunnelled link stalls on
-    wdiag_d = jnp.asarray(wdiag, jnp.float32)  # (M,) — tiny
-    x = jnp.broadcast_to(0.001 * wdiag_d, (nchains, M)).astype(jnp.float32)
-    U, g, (_, u_data, u_model) = potential_fn(x, 1.0)
-    carry = (x, U, g, u_data, u_model,
-             jnp.zeros(nchains, jnp.int32),
-             jnp.zeros((nchains, nsamples, M), jnp.float32),
-             jnp.zeros((nchains, nsamples, 7), jnp.float32))
-    base_key = random.PRNGKey(0)
-
-    # warmup (compile)
-    carry, stats = run_chunk(carry, base_key, 0, potential_fn.params)
-    jax.block_until_ready(carry[0])
-    stage("warmup chunk compiled + ran")
-
-    t0 = time.time()
-    # accumulate counters on device; exactly two scalar transfers at the
-    # end (the tunnelled link stalls on anything bigger)
-    ge_acc = jnp.zeros((), jnp.float32)
-    ac_acc = jnp.zeros((), jnp.float32)
-    stat_count = 0
-    for i in range(1, n_timed_chunks + 1):
-        carry, stats = run_chunk(carry, base_key, i, potential_fn.params)
-        ge_acc = ge_acc + jnp.sum(stats[..., 4])
-        ac_acc = ac_acc + jnp.sum(stats[..., 0])
-        stat_count += stats.shape[0] * stats.shape[1]
-    jax.block_until_ready(ge_acc)
-    elapsed = time.time() - t0
-    stage(f"timed chunks done ({elapsed:.1f}s)")
-
-    # ESS/s (BASELINE.json names it alongside grad-evals/s): autocorrelation
-    # ESS over a 128-parameter subsample of the device-resident sample
-    # buffer, computed ON DEVICE (diagnostics.ess_jax) — only the median
-    # scalar crosses the tunnelled link
-    try:
-        from gravinv3dhmc_tpu.diagnostics import ess_jax
-        sub = np.random.RandomState(0).choice(M, size=min(M, 128),
-                                              replace=False)
-        ess_med = jnp.median(ess_jax(carry[6][:, :, jnp.asarray(sub)]))
-        jax.block_until_ready(ess_med)
-    except Exception as e:  # noqa: BLE001 — diagnostics must not kill bench
-        print(f"WARNING: on-device ESS failed: {e!r:.200}",
-              file=sys.stderr, flush=True)
-        ess_med = None
-
-    # exact counters need a (tiny) device->host read; the tunnelled link
-    # can wedge on d2h entirely, so read them under a watchdog and fall
-    # back to the expectation E[L] = (Lmin+Lmax)/2 = 12.5 of the known
-    # uniform trajectory-length distribution (identical in expectation)
-    result_box = {}
-
-    def _read():
-        result_box["ge"] = int(ge_acc)
-        result_box["ac"] = float(ac_acc)
-        if ess_med is not None:
-            result_box["ess"] = float(ess_med)
-
-    import threading
-    reader = threading.Thread(target=_read, daemon=True)
-    reader.start()
-    reader.join(timeout=float(os.environ.get("BENCH_D2H_TIMEOUT", "120")))
-    if "ge" in result_box:
-        grad_evals = result_box["ge"]
-        accept_sum = result_box["ac"]
-        count_mode = "exact"
-    else:
-        grad_evals = int(stat_count * 12.5)
-        accept_sum = float("nan")
-        count_mode = "expected (device->host link stalled)"
-
-    value = grad_evals / elapsed
-    accept_ratio = accept_sum / max(stat_count, 1)
-    # the nsamples stored samples/chain took ~nsamples/accept_ratio
-    # iterations to collect at the measured per-iteration wall time
-    ess_per_s = None
-    if "ess" in result_box and np.isfinite(accept_ratio) and accept_ratio > 0:
-        iter_time = elapsed / (chunk_size * n_timed_chunks)
-        collect_time = (nsamples / accept_ratio) * iter_time
-        ess_per_s = result_box["ess"] / collect_time
-    result = {
-        "metric": "uniformgrid leapfrog grad-evals/s/chip",
-        "value": round(value, 1),
-        "unit": "grad-evals/s",
-        "vs_baseline": round(value / BASELINE_GRAD_EVALS_PER_S, 2),
-        "detail": {
-            "device": str(jax.devices()[0]),
-            "nchains": nchains,
-            "chunk_size": chunk_size,
-            "shared_L": shared_L,
-            "fused_pallas_step": fused_mode,
-            "problem": [int(dobs.size), int(M)],
-            "iters_per_s": round(chunk_size * n_timed_chunks * nchains
-                                 / elapsed, 1),
-            "accept_ratio": accept_ratio,
-            "grad_eval_count_mode": count_mode,
-            "ess_per_s_median": (round(ess_per_s, 1)
-                                 if ess_per_s is not None else None),
-            "ess_median_total": result_box.get("ess"),
-        },
-    }
-    print(json.dumps(result))
-
+from gravinv3dhmc_tpu.bench import main, run_with_fallback
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception:  # noqa: BLE001 — the bench must always land a number
-        import traceback
-        traceback.print_exc()
-        print("bench main() failed; retrying with the conservative XLA "
-              "configuration", file=sys.stderr, flush=True)
-        os.environ["BENCH_FUSED"] = "0"
-        os.environ["BENCH_NCHAINS"] = "256"
-        main()
+    run_with_fallback()

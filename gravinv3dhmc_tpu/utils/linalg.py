@@ -8,6 +8,8 @@ never materialise sparse matrices.
 """
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
@@ -43,41 +45,50 @@ def safe_diagonal(matrix):
     return np.diagonal(matrix).copy()
 
 
-class SparseList:
-    """Immutable dict-backed sparse list (legacy fatiando container,
-    reference: utils.py:477-546; unused by the main inversion paths but
-    part of the public surface)."""
+class SparseList(Sequence):
+    """Fixed-length sequence storing only its non-default entries.
 
-    def __init__(self, size, elements=None):
-        self.size = size
-        self.i = 0
-        self.elements = dict(elements) if elements else {}
+    API-parity stand-in for the legacy fatiando container the reference
+    keeps around (reference: utils.py:477-546 — unused by any inversion
+    path there or here). Implemented as a :class:`collections.abc.Sequence`
+    over a sparse entry map, so slicing-free iteration, ``in`` and
+    ``index()`` come from the ABC; iteration is stateless (the reference's
+    version kept a cursor on the instance, so nested loops over the same
+    object interfered).
+    """
 
-    def __str__(self):
-        return str(self.elements)
+    __slots__ = ("size", "elements", "_default")
+
+    def __init__(self, size, elements=None, default=0.0):
+        if size < 0:
+            raise ValueError(f"size must be non-negative, got {size}")
+        self.size = int(size)
+        self._default = default
+        self.elements = {}
+        if elements:
+            for k, v in dict(elements).items():
+                self[k] = v
+
+    def _wrap(self, index):
+        wrapped = index + self.size if index < 0 else index
+        if not 0 <= wrapped < self.size:
+            raise IndexError(f"index {index} out of range")
+        return wrapped
+
+    def __getitem__(self, index):
+        return self.elements.get(self._wrap(index), self._default)
+
+    def __setitem__(self, index, value):
+        self.elements[self._wrap(index)] = value
 
     def __len__(self):
         return self.size
 
-    def __getitem__(self, index):
-        if index < 0:
-            index = self.size + index
-        if index >= self.size or index < 0:
-            raise IndexError(f"index {index} out of range")
-        return self.elements.get(index, 0.0)
-
-    def __setitem__(self, key, value):
-        if key >= self.size:
-            raise IndexError(f"index {key} out of range")
-        self.elements[key] = value
-
     def __iter__(self):
-        self.i = 0
-        return self
+        get = self.elements.get
+        return (get(i, self._default) for i in range(self.size))
 
-    def __next__(self):
-        if self.i == self.size:
-            raise StopIteration
-        res = self[self.i]
-        self.i += 1
-        return res
+    def __repr__(self):
+        return f"SparseList({self.size}, {self.elements})"
+
+    __str__ = __repr__
