@@ -37,7 +37,9 @@ def cmd_hmc(args, builder, **defaults):
                   save_folder=args.save_folder, verbose=not args.quiet,
                   sampler=args.sampler, nwarmup=args.nwarmup,
                   temperature=args.temperature,
-                  adapt_step_size=args.adapt_step_size)
+                  adapt_step_size=args.adapt_step_size,
+                  adapt_mass=args.adapt_mass,
+                  adapt_chunks=args.adapt_chunks)
     params.update(defaults)
     module, stats, mean, std, out = W.run_hmc(wl, dobs, **params)
     out["workload"] = args.workload
@@ -217,6 +219,14 @@ def main():
                     help="dual-averaging warmup for the fixed-L HMC "
                          "sampler (extension; the reference keeps dt "
                          "fixed)")
+    ap.add_argument("--adapt-mass", dest="adapt_mass",
+                    action="store_true",
+                    help="Stan-style windowed warmup: Welford diagonal "
+                         "metric + dt re-tuning for the fixed-L HMC "
+                         "sampler; implies a storage reset when the "
+                         "kernel freezes")
+    ap.add_argument("--adapt-chunks", dest="adapt_chunks", type=int,
+                    default=10, help="warmup length in sampler chunks")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 

@@ -237,6 +237,21 @@ def forward_with_noise(wl, noise=0.02, seed=1, kernel_cache=None):
     xo, yo, zo = wl["obs"]
     if kernel_cache and os.path.exists(kernel_cache):
         K = np.load(kernel_cache, mmap_mode="r")
+        D, M = len(wl["obs"][0]), len(wl["rho"])
+        if K.shape != (D, M):
+            raise ValueError(
+                f"kernel cache {kernel_cache} has shape {K.shape}, but the "
+                f"current workload needs ({D}, {M}) — stale cache from a "
+                "different --scale or geometry?")
+        meta_path = os.path.join(os.path.dirname(kernel_cache) or ".",
+                                 "global_build_meta.json")
+        if os.path.exists(meta_path):
+            import json
+            meta = json.load(open(meta_path))
+            if "shape" in meta and tuple(meta["shape"]) != (D, M):
+                raise ValueError(
+                    f"kernel cache metadata shape {meta['shape']} != "
+                    f"({D}, {M}) of the current workload")
         dpre = K @ np.asarray(wl["rho"], dtype=K.dtype)
     elif wl.get("mesh_kwargs", {}).get("coordinate") == "spherical":
         dpre, _ = tess.gz(xo, yo, zo, wl["mesh"])
@@ -251,7 +266,7 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             regularization="MS", beta=0.001, wavelet=False, chunk_size=64,
             save_folder=None, seed=100, verbose=True, kernel_cache=None,
             sampler="hmc", nwarmup=None, temperature=None,
-            adapt_step_size=False):
+            adapt_step_size=False, adapt_mass=False, adapt_chunks=10):
     """Shared sampling driver (reference: example/*/main_*.py pattern).
 
     ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
@@ -271,6 +286,11 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
     boundaries = np.stack([np.full(M, wl["rhomin"]),
                            np.full(M, wl["rhomax"])], axis=1)
     if sampler == "hmc":
+        if temperature is not None:
+            raise ValueError(
+                "--temperature applies to the adaptive samplers only "
+                "(nuts/chees); the reference HMC kernel's effective "
+                "tempering comes from Sigma (inversion/hmc.py docstring)")
         stats = hmc.HMCSample(
             module, nsamples, ndraws, delta, list(Lrange), initial, aprior,
             boundaries, "mandatory", 1000.0, dobs, RegulFactor=RegulFactor,
@@ -278,7 +298,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             save_folder=save_folder or "result/chain", nchains=nchains,
             chunk_size=chunk_size, verbose=verbose,
             write_files=save_folder is not None,
-            adapt_step_size=adapt_step_size)
+            adapt_step_size=adapt_step_size, adapt_mass=adapt_mass,
+            adapt_chunks=adapt_chunks)
         chains = np.stack([stats["samples"][c, : int(stats["n_stored"][c])]
                            for c in range(nchains)])
     elif sampler in ("nuts", "chees"):
@@ -288,11 +309,15 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
         # honest Bayesian posterior; T=Sigma^2 approximates the effective
         # target of the reference's p ~ N(0, Sigma^2) unit-mass quirk
         # (see GravMagModule.make_potential temperature).
+        if temperature is not None and temperature <= 0:
+            raise ValueError(f"temperature must be positive, "
+                             f"got {temperature}")
         kwargs = dict(RegulFactor=RegulFactor,
                       regularization=regularization, beta=beta, seed=seed,
                       step_size0=delta, nchains=nchains, verbose=verbose,
                       save_folder=save_folder,
-                      temperature=temperature if temperature else 1.0)
+                      temperature=(temperature if temperature is not None
+                                   else 1.0))
         if sampler == "nuts":
             from gravinv3dhmc_tpu.inversion.nuts import NUTSSample
             stats = NUTSSample(module, nsamples, warm, initial, aprior,

@@ -58,7 +58,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                        constraint, alpha, chunk_size, nsamples, ndraws,
                        wdiag_inv, data_size, log_factor=1000.0,
                        dtype=jnp.float32, shared_L=False, fused_step=None,
-                       fused_trajectory=None):
+                       fused_trajectory=None, welford=False):
     """Build the jitted chunk kernel with a device-resident sample buffer.
 
     ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
@@ -74,6 +74,17 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     *unweighted* models and ``buf_k`` the (C, nsamples, 7) misfit rows in
     the reference's column layout; ``nacc`` counts accepted samples
     (including the ``ndraws`` warm-up ones, which are not stored).
+
+    NOTE the carry is DONATED to the jitted chunk (the sample buffer
+    dominates it — 1.6 GB at bench scale — and donation lets XLA update it
+    in place): the input carry, and any array a ``callback`` received from
+    it, is invalid after the next ``run_chunk`` call. Hold a copy if you
+    need one.
+
+    ``welford=True`` appends per-chain running-moment accumulators
+    ``(w_mean (C, M), w_m2 (C, M), w_count ())`` to the carry, updated from
+    the post-accept position every iteration — the warmup metric estimator
+    (Stan-style; see :meth:`HamiltonianMC.sample`).
     """
     dt_default = float(dt)
     Sigma = jnp.asarray(Sigma, dtype)
@@ -104,7 +115,11 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
 
     def one_iteration(carry, key_P):
         key, P, dt, inv_mass, fprm = key_P
-        x, U, g, u_data, u_model, nacc, buf_m, buf_k = carry
+        if welford:
+            (x, U, g, u_data, u_model, nacc, buf_m, buf_k,
+             w_mean, w_m2, w_count) = carry
+        else:
+            x, U, g, u_data, u_model, nacc, buf_m, buf_k = carry
         potential_fn = lambda xx, aa: pot_raw(xx, aa, P)
         C = x.shape[0]
         kL, kp, ku = random.split(key, 3)
@@ -285,6 +300,14 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
 
         stats = jnp.stack([accept.astype(dtype), U, u_data, u_model,
                            L.astype(dtype)], axis=-1)  # (C, 5)
+        if welford:
+            # per-chain running moments of the post-accept position
+            cnt = w_count + 1.0
+            delta = x - w_mean
+            w_mean = w_mean + delta / cnt
+            w_m2 = w_m2 + delta * (x - w_mean)
+            return (x, U, g, u_data, u_model, nacc, buf_m, buf_k,
+                    w_mean, w_m2, cnt), stats
         return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
 
     # carry donation: the (C, nsamples, M) sample buffer dominates the
@@ -349,12 +372,14 @@ class HamiltonianMC:
         self.adapt_step_size = False
         self.adapt_target = 0.8
         self.adapt_chunks = 10
-        #: estimate a diagonal metric from the samples stored during the
-        #: first ``adapt_chunks`` chunks, then switch the kinetic energy to
-        #: K = p^T M^-1 p / 2 (Stan-style; the reference's Sigma-scaled
-        #: identity is kept when off). As in Stan, the estimate is only as
-        #: good as the warmup window: set adapt_chunks well past the
-        #: initial transient or the drift direction dominates the metric.
+        #: Stan-style windowed warmup: tune dt for ~0.4*adapt_chunks
+        #: chunks, accumulate Welford moments of the position for the next
+        #: ~0.4 window, switch the kinetic to K = p^T M^-1 p / 2 with
+        #: inverse mass = estimated posterior variance, re-tune dt under
+        #: the new metric, then freeze. Implies step-size re-tuning, and
+        #: the sample buffer is reset when the kernel freezes so every
+        #: stored sample comes from the frozen kernel. The reference's
+        #: Sigma-scaled identity quirk is kept when off.
         self.adapt_mass = False
         #: share one trajectory-length draw per iteration across chains —
         #: ~2x useful throughput on TPU (no masked-step waste), same
@@ -433,9 +458,14 @@ class HamiltonianMC:
 
         ``checkpoint_path`` snapshots the full sampler state every
         ``checkpoint_every`` chunks and resumes from it when present
-        (exact continuation — chunk keys are derived from the chunk index).
+        (exact continuation — chunk keys are derived from the chunk index;
+        with adaptation on, snapshots start only after the kernel freezes).
         Returns a dict with posterior sample arrays, file paths and
         throughput stats.
+
+        The chunk carry is DONATED to the jitted chunk: arrays a
+        ``callback`` receives are invalidated by the next chunk — copy
+        them (``np.asarray``) inside the callback if they must outlive it.
         """
         C = self.nchains
         M = self.initial_model.shape[0]
@@ -467,7 +497,8 @@ class HamiltonianMC:
             nsamples=nsamples, ndraws=ndraws,
             wdiag_inv=self.model.wdiag_inv, data_size=self.dobs.shape[0],
             log_factor=self.log_factor, dtype=dtype,
-            shared_L=self.shared_L or fused is not None, fused_step=fused)
+            shared_L=self.shared_L or fused is not None, fused_step=fused,
+            welford=self.adapt_mass)
 
         x = jnp.asarray(x0, dtype)
         U, g, (_, u_data, u_model) = potential_fn(x, self.RegulFactor)
@@ -477,9 +508,16 @@ class HamiltonianMC:
                  jnp.zeros(C, jnp.int32),
                  jnp.zeros((C, nsamples, M), dtype),
                  jnp.zeros((C, nsamples, 7), dtype))
+        if self.adapt_mass:
+            carry = carry + (jnp.zeros((C, M), dtype),
+                             jnp.zeros((C, M), dtype),
+                             jnp.zeros((), dtype))
         start_chunk = 0
         ckpt_meta = {"nsamples": nsamples, "ndraws": ndraws, "nchains": C,
-                     "M": M, "seed": self.seed, "myrank": self.myrank}
+                     "M": M, "seed": self.seed, "myrank": self.myrank,
+                     "adapt": [bool(self.adapt_step_size),
+                               bool(self.adapt_mass),
+                               int(self.adapt_chunks)]}
         if checkpoint_path and resume and os.path.exists(checkpoint_path):
             from ..checkpoint import load_state
             carry, start_chunk, base_key, meta = load_state(
@@ -496,8 +534,30 @@ class HamiltonianMC:
         alpha = self.RegulFactor
         attempted = 0
         grad_evals = 0
+        # ---- warmup adaptation schedule (Stan-style windows over chunks):
+        #   [1, w1]        dual-average dt under the initial kinetic
+        #   (w1, w1+w2]    continue DA while Welford accumulates moments
+        #   at w1+w2       switch to the estimated diagonal metric,
+        #                  re-seed DA (a dt tuned for one metric is invalid
+        #                  under another)
+        #   (w1+w2, W]     re-tune dt under the new metric
+        #   at W           freeze dt, RESET the accept counters so no
+        #                  stored sample was drawn under a still-changing
+        #                  kernel (non-diminishing adaptation during
+        #                  collection biases the posterior buffer)
+        # adapt_mass implies step-size re-tuning; without adapt_mass the
+        # schedule degenerates to a single DA window of W chunks.
+        adapting = self.adapt_step_size or self.adapt_mass
+        W = int(self.adapt_chunks) if adapting else 0
+        if self.adapt_mass:
+            w1 = max(1, int(W * 0.4))
+            w2 = max(1, int(W * 0.4))
+            if w1 + w2 >= W:
+                W = w1 + w2 + 1  # always leave a re-tune window
+        else:
+            w1, w2 = W, 0
         if max_chunks is None:
-            max_chunks = max(200, 100 * total // self.chunk_size + 10)
+            max_chunks = max(200, 100 * total // self.chunk_size + 10) + W
 
         # device-side reduction of the per-chunk stats block: only a few
         # SCALARS cross the link per chunk. At scale the raw stats are
@@ -519,10 +579,11 @@ class HamiltonianMC:
         dt_cur = float(self.dt)
         inv_mass = None
         da = None
-        if self.adapt_step_size:
+        frozen = not adapting
+        if adapting:
             from .nuts import dual_averaging_init, dual_averaging_update
             da = dual_averaging_init(dt_cur, target=self.adapt_target)
-        while acc_min < total:
+        while acc_min < total or not frozen:
             if n_chunks >= max_chunks:
                 print(f"WARNING: stopping after {n_chunks} chunks with "
                       f"min accepted count {acc_min}")
@@ -564,31 +625,62 @@ class HamiltonianMC:
                               ud_l / data_size, alpha, um_l / model_size,
                               ratio),
                       flush=True)
-            if (self.adapt_mass and inv_mass is None
-                    and n_chunks >= self.adapt_chunks
-                    and acc_min - ndraws >= 8):
-                # device-side variance of the stored mw samples -> metric
-                wdiag_dev = jnp.asarray(self.model.wdiag, dtype)
-                n_use = int(min(acc_min - ndraws, nsamples))
-                mw_buf = carry[6][:, :n_use, :] * wdiag_dev
-                var = jnp.clip(jnp.var(mw_buf, axis=(0, 1)), 1e-12, None)
-                inv_mass = var  # Stan: inverse mass = posterior variance
-                if self.verbose:
-                    print(f"adapted diagonal mass at chunk {n_chunks}",
-                          flush=True)
-            if da is not None:
-                if n_chunks <= self.adapt_chunks:
-                    chunk_accept = float(acc_rate_d)
-                    da = dual_averaging_update(da, chunk_accept)
-                    dt_cur = float(np.exp(da["log_eps"]))
-                elif n_chunks == self.adapt_chunks + 1:
-                    dt_cur = float(np.exp(da["log_eps_avg"]))
+            if not frozen:
+                da = dual_averaging_update(da, float(acc_rate_d))
+                dt_cur = float(np.exp(da["log_eps"]))
+                if self.adapt_mass and n_chunks == w1:
+                    # open the Welford window: discard the initial
+                    # transient's moments
+                    carry = carry[:8] + (jnp.zeros_like(carry[8]),
+                                         jnp.zeros_like(carry[9]),
+                                         jnp.zeros_like(carry[10]))
+                if self.adapt_mass and n_chunks == w1 + w2:
+                    # inverse mass = pooled per-chain posterior variance
+                    # with Stan's shrinkage toward unity (nuts.py
+                    # welford_variance rationale), computed on device
+                    cnt = carry[10]
+                    var = jnp.mean(carry[9], axis=0) / jnp.maximum(
+                        cnt - 1.0, 1.0)
+                    n_draws_used = cnt * C
+                    var = (n_draws_used / (n_draws_used + 5.0)) * var \
+                        + 1e-3 * (5.0 / (n_draws_used + 5.0))
+                    inv_mass = jnp.clip(var, 1e-12, None)
+                    # the kinetic switches from the reference's
+                    # Sigma-scaled identity to the proper diagonal metric:
+                    # re-seed dt at a matched position-step scale
+                    # (dx ~ dt*Sigma before, dt*std after) and re-tune
+                    med_std = float(jnp.median(jnp.sqrt(inv_mass)))
+                    dt_cur = float(np.clip(
+                        dt_cur * float(self.Sigma) / max(med_std, 1e-30),
+                        1e-10, 1e6))
+                    da = dual_averaging_init(dt_cur,
+                                             target=self.adapt_target)
                     if self.verbose:
-                        print(f"adapted step size: {dt_cur:.5g}", flush=True)
+                        print(f"adapted diagonal mass at chunk {n_chunks} "
+                              f"(median std {med_std:.4g}); re-tuning dt "
+                              f"from {dt_cur:.5g}", flush=True)
+                if n_chunks == W:
+                    dt_cur = float(np.exp(da["log_eps_avg"]))
+                    frozen = True
+                    # storage gate: every sample in the buffer must be
+                    # drawn by the FROZEN kernel — reset the accept
+                    # counters (rows are overwritten as fresh accepts
+                    # arrive; n_stored derives from nacc) and the
+                    # throughput counters
+                    carry = (carry[:5] + (jnp.zeros_like(carry[5]),)
+                             + carry[6:])
+                    acc_min, acc_sum, attempted = 0, 0, 0
+                    if self.verbose:
+                        print(f"warmup done at chunk {n_chunks}: frozen "
+                              f"dt={dt_cur:.5g}; sample storage reset",
+                              flush=True)
             if callback is not None:
                 # per-chain counters transfer only when a callback asks
                 callback(np.asarray(carry[5]).astype(np.int64), carry[0])
-            if checkpoint_path and n_chunks % checkpoint_every == 0:
+            if (checkpoint_path and frozen
+                    and n_chunks % checkpoint_every == 0):
+                # checkpoints only once the kernel is frozen: DA/metric
+                # state is host-side and not snapshotted
                 from ..checkpoint import save_state
                 save_state(checkpoint_path, carry, n_chunks, base_key,
                            meta=ckpt_meta)
@@ -625,6 +717,7 @@ class HamiltonianMC:
                 "grad_evals": grad_evals,
                 "grad_evals_per_s": grad_evals / max(elapsed, 1e-9),
                 "step_size": dt_cur,
+                "adapted_mass": inv_mass is not None,
                 "ess_per_s_median": ess_per_s,
             }
 
@@ -663,6 +756,9 @@ class HamiltonianMC:
             "grad_evals": grad_evals,
             "grad_evals_per_s": grad_evals / max(elapsed, 1e-9),
             "step_size": dt_cur,
+            "adapted_mass": inv_mass is not None,
+            "inv_mass": (np.asarray(inv_mass)
+                         if inv_mass is not None else None),
             "ess_per_s_median": ess_per_s,
         }
 
@@ -678,8 +774,8 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
               nbest=100, myrank=0, save_folder="mychain", plotsamples=False,
               im=(0, 0), nchains=1, chunk_size=64, dtype=jnp.float32,
               verbose=True, write_files=True, adapt_step_size=False,
-              adapt_target=0.8, shared_L=False, use_fused=False,
-              transfer_samples=True):
+              adapt_target=0.8, adapt_mass=False, adapt_chunks=10,
+              shared_L=False, use_fused=False, transfer_samples=True):
     """Reference-compatible chain factory (inversion/hmc.py:358-403).
 
     ``nchains`` extends the reference: instead of one chain per MPI rank,
@@ -709,6 +805,8 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
     chain.write_files = write_files
     chain.adapt_step_size = adapt_step_size
     chain.adapt_target = adapt_target
+    chain.adapt_mass = adapt_mass
+    chain.adapt_chunks = adapt_chunks
     chain.shared_L = shared_L
     chain.use_fused = use_fused
     chain.transfer_samples = transfer_samples

@@ -222,29 +222,68 @@ def _pair_terms(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp):
     return coslon, sinlon, cospsi, kphi, rc_k, l_sqr, kappa
 
 
+def _pair_terms_stable(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc,
+                       rc, xp):
+    """Cancellation-free variant of :func:`_pair_terms` for float32 device
+    evaluation.
+
+    The classic ``l_sqr = radius^2 + rc^2 - 2 radius rc cospsi`` cancels
+    catastrophically at Earth-radius magnitude (~4e13) in f32 for pairs
+    just outside the near-field mask (per-entry rel err up to ~1e-4).
+    Rearranged as ``(radius - rc)^2 + 4 radius rc hav(psi)`` with the
+    haversine ``hav = sin^2(dlat/2) + coslat coslatc sin^2(dlon/2)``:
+    both terms are computed from SMALL differences, no large-square
+    subtraction anywhere.
+    """
+    dlon = lon[:, None] - lonc
+    coslon = xp.cos(dlon)                           # (N, 2): i
+    sinlon = xp.sin(lonc - lon[:, None])            # (N, 2): i
+    lat = xp.arctan2(sinlat, coslat)                # (N,)
+    latc = xp.arctan2(sinlatc, coslatc)             # (N, 2): j
+    sin_hlat = xp.sin(0.5 * (lat[:, None] - latc))  # (N, j)
+    sin_hlon = xp.sin(0.5 * dlon)                   # (N, i)
+    hav = ((sin_hlat ** 2)[:, None, :]
+           + coslat[:, None, None] * coslatc[:, None, :]
+           * (sin_hlon ** 2)[:, :, None])           # (N, i, j)
+    cospsi = 1.0 - 2.0 * hav
+    kphi = (coslat[:, None, None] * sinlatc[:, None, :]
+            - sinlat[:, None, None] * coslatc[:, None, :]
+            * coslon[:, :, None])                   # (N, i, j)
+    rc_k = rc[:, None, None, :]                     # (N, 1, 1, k)
+    # radial separation from small height differences: radius = R + h_obs
+    # and rc = R + h_node, so (radius - rc) = h_obs - h_node exactly
+    dr = (radius - MEAN_EARTH_RADIUS)[:, None, None, None] \
+        - (rc_k - MEAN_EARTH_RADIUS)
+    l_sqr = dr * dr + 4.0 * radius[:, None, None, None] * rc_k \
+        * hav[:, :, :, None]                        # (N, i, j, k)
+    kappa = (rc_k ** 2) * coslatc[:, None, :, None]  # (N, 1, j, k)
+    return coslon, sinlon, cospsi, kphi, rc_k, l_sqr, kappa
+
+
 def _sum_ijk(x, xp):
     return xp.sum(x, axis=(1, 2, 3))
 
 
-def _make_kernels(xp):
+def _make_kernels(xp, pair_terms=None):
+    pair_terms = _pair_terms if pair_terms is None else pair_terms
     def kernelV(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, _, _, _, _, l_sqr, kappa = _pair_terms(
+        _, _, _, _, _, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         return _sum_ijk(kappa / xp.sqrt(l_sqr), xp)
 
     def kernelx(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, _, _, kphi, rc_k, l_sqr, kappa = _pair_terms(
+        _, _, _, kphi, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         return _sum_ijk(kappa * rc_k * kphi[:, :, :, None] / l_sqr ** 1.5, xp)
 
     def kernely(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, sinlon, _, _, rc_k, l_sqr, kappa = _pair_terms(
+        _, sinlon, _, _, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         deltay = rc_k * coslatc[:, None, :, None] * sinlon[:, :, None, None]
         return _sum_ijk(kappa * deltay / l_sqr ** 1.5, xp)
 
     def kernelz(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, _, cospsi, _, rc_k, l_sqr, kappa = _pair_terms(
+        _, _, cospsi, _, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         deltaz = rc_k * cospsi[:, :, :, None] - radius[:, None, None, None]
         # sign flip so gz is z-down positive (reference:
@@ -252,40 +291,40 @@ def _make_kernels(xp):
         return -_sum_ijk(kappa * deltaz / l_sqr ** 1.5, xp)
 
     def kernelxx(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, _, _, kphi, rc_k, l_sqr, kappa = _pair_terms(
+        _, _, _, kphi, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         num = 3 * (rc_k * kphi[:, :, :, None]) ** 2 - l_sqr
         return _sum_ijk(kappa * num / l_sqr ** 2.5, xp)
 
     def kernelxy(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, sinlon, _, kphi, rc_k, l_sqr, kappa = _pair_terms(
+        _, sinlon, _, kphi, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         num = (3 * rc_k ** 2 * kphi[:, :, :, None]
                * coslatc[:, None, :, None] * sinlon[:, :, None, None])
         return _sum_ijk(kappa * num / l_sqr ** 2.5, xp)
 
     def kernelxz(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, _, cospsi, kphi, rc_k, l_sqr, kappa = _pair_terms(
+        _, _, cospsi, kphi, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         deltaz = rc_k * cospsi[:, :, :, None] - radius[:, None, None, None]
         num = 3 * rc_k * kphi[:, :, :, None] * deltaz
         return _sum_ijk(kappa * num / l_sqr ** 2.5, xp)
 
     def kernelyy(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, sinlon, _, _, rc_k, l_sqr, kappa = _pair_terms(
+        _, sinlon, _, _, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         deltay = rc_k * coslatc[:, None, :, None] * sinlon[:, :, None, None]
         return _sum_ijk(kappa * (3 * deltay ** 2 - l_sqr) / l_sqr ** 2.5, xp)
 
     def kernelyz(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, sinlon, cospsi, _, rc_k, l_sqr, kappa = _pair_terms(
+        _, sinlon, cospsi, _, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         deltay = rc_k * coslatc[:, None, :, None] * sinlon[:, :, None, None]
         deltaz = rc_k * cospsi[:, :, :, None] - radius[:, None, None, None]
         return _sum_ijk(kappa * 3.0 * deltay * deltaz / l_sqr ** 2.5, xp)
 
     def kernelzz(lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc):
-        _, _, cospsi, _, rc_k, l_sqr, kappa = _pair_terms(
+        _, _, cospsi, _, rc_k, l_sqr, kappa = pair_terms(
             lon, sinlat, coslat, radius, lonc, sinlatc, coslatc, rc, xp)
         deltaz = rc_k * cospsi[:, :, :, None] - radius[:, None, None, None]
         return _sum_ijk(kappa * (3 * deltaz ** 2 - l_sqr) / l_sqr ** 2.5, xp)
@@ -493,7 +532,9 @@ def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
              jnp.asarray(np.cos(lat_r), dtype),
              jnp.asarray(MEAN_EARTH_RADIUS + height, dtype))
 
-    kfn = _make_kernels(jnp)[kname]
+    # cancellation-free pair terms: the classic l_sqr form loses up to
+    # ~1e-4 per-entry relative accuracy in f32 at Earth-radius magnitudes
+    kfn = _make_kernels(jnp, pair_terms=_pair_terms_stable)[kname]
 
     def one_obs(lo, sl, cl, ra):
         full = lambda v: jnp.full((M,), v, dtype)

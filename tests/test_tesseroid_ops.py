@@ -241,3 +241,29 @@ def test_device_kernel_matches_host():
         "gz", lons, lats, heights, cells, host_kernel=k_host, winv=winv)
     err = np.abs(np.asarray(k_w, np.float64) - k_host * winv).max() / scale
     assert err < 1e-5, err
+
+
+def test_device_kernel_per_entry_accuracy_midrange():
+    """PER-ENTRY relative accuracy of the f32 device far-field evaluation
+    for mid-range pairs (just outside the near-field mask) — the regime
+    where the classic l_sqr form cancels catastrophically in f32. The
+    stable haversine form must hold every entry to ~1e-5 relative, not
+    just relative to the matrix max."""
+    from gravinv3dhmc_tpu.ops import tesseroid as tess
+
+    # global-case geometry: 3-degree tesseroid ring at depth — the mask
+    # boundary sits at ~530 km where f32 l_sqr loses ~1e-4 classically
+    cells = np.array([[w, w + 3.0, -1.5, 1.5, -3e5, -6e5]
+                      for w in range(-180, 180, 3)], np.float64)
+    lons = np.linspace(-180, 177.0, 120)
+    lats = np.full(lons.size, 0.5)
+    heights = np.full(lons.size, 5e3)
+    k_host = tess.tesseroid_kernel_matrix("gz", lons, lats, heights, cells)
+    k_dev, (oi, ci) = tess.tesseroid_kernel_device(
+        "gz", lons, lats, heights, cells, host_kernel=k_host, obs_block=16)
+    k_dev = np.asarray(k_dev, np.float64)
+    # exclude the host-corrected near-field entries: they are exact
+    far = np.ones_like(k_host, bool)
+    far[oi, ci] = False
+    rel = np.abs(k_dev - k_host)[far] / np.abs(k_host)[far]
+    assert rel.max() < 1e-5, rel.max()  # classic l_sqr form: 1.1e-5 here
