@@ -48,17 +48,67 @@ def cmd_hmc(args, builder, **defaults):
 
 
 def cmd_global(args):
+    """Whole-Earth inversion — the reference's OOM case
+    (reference: example/global/main_global.py, logout_T1.txt tail shows
+    both chains killed by signal 9). One unified path: device-built
+    kernel (GravMagModule kernel_device=True), windowed warmup adaptation
+    (the fixed dt=0.005/Sigma=0.001 config cannot move a 72000-dim chain),
+    device-resident posterior with scalar-only link traffic."""
+    import time
+
+    t0 = time.time()
     wl = W.global_tess(scale=args.scale)
     dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise,
                                       kernel_cache=args.kernel_cache)
+    kernel_device = not args.host_kernel
     module, stats, mean, std, out = W.run_hmc(
-        wl, dobs, nsamples=args.nsamples, nchains=args.nchains,
-        delta=0.005, Lrange=(5, 20), Sigma=0.001, RegulFactor=0.05,
-        regularization="Damping", beta=0.01, chunk_size=args.chunk_size,
-        save_folder=args.save_folder, verbose=not args.quiet,
-        kernel_cache=args.kernel_cache)
+        wl, dobs, nsamples=args.nsamples, ndraws=args.ndraws,
+        nchains=args.nchains, delta=0.005, Lrange=tuple(args.Lrange),
+        Sigma=0.001, RegulFactor=0.05, regularization="Damping", beta=0.01,
+        chunk_size=args.chunk_size, save_folder=args.save_folder,
+        verbose=not args.quiet,
+        # the cached host kernel seeds the synthetic data only; the
+        # device build must stand on its own (near-field corrections via
+        # the native pairs engine), so it is NOT passed to the module
+        kernel_cache=None if kernel_device else args.kernel_cache,
+        kernel_device=kernel_device, transfer_samples=False,
+        adapt_step_size=True, adapt_mass=not args.no_adapt_mass,
+        adapt_chunks=max(args.adapt_chunks, 20))
+    if kernel_device and args.kernel_cache and os.path.exists(
+            args.kernel_cache):
+        # independent check: sampled device-built entries vs the f64 host
+        # cache (scalar-sized d2h only)
+        import jax
+        import jax.numpy as jnp
+        K_host = np.load(args.kernel_cache, mmap_mode="r")
+        rng = np.random.RandomState(0)
+        si = rng.randint(0, K_host.shape[0], 2000)
+        sj = rng.randint(0, K_host.shape[1], 2000)
+        Aw_dev = module.device_arrays()["Aw"]
+        dev_vals = np.asarray(jax.jit(lambda A, i, j: A[i, j])(
+            Aw_dev, jnp.asarray(si), jnp.asarray(sj)), np.float64)
+        host_vals = (np.asarray(K_host[si, sj], np.float64)
+                     * module.wdiag_inv[sj])
+        out["device_vs_host_max_rel_err"] = float(
+            np.abs(dev_vals - host_vals).max()
+            / max(np.abs(host_vals).max(), 1e-30))
     out["workload"] = f"global(scale={args.scale})"
     out["problem"] = [int(dobs.size), int(module.n_active)]
+    out["total_s"] = time.time() - t0
+    if getattr(module, "kernel_build_s", None) is not None:
+        out["kernel_build_device_s"] = module.kernel_build_s
+        out["nearfield_pairs"] = getattr(module, "nearfield_pairs", None)
+    if args.out:
+        import jax
+        art = dict(case="global whole-Earth tesseroid gz inversion",
+                   device=str(jax.devices()[0]),
+                   reference_outcome="OOM-killed at ~0.6% sampling on a "
+                   "72-CPU 251GB node (example/global/logout_T1.txt)",
+                   D=int(dobs.size), M=int(module.n_active),
+                   nchains=args.nchains, nsamples=args.nsamples)
+        art.update(out)
+        with open(args.out, "w") as f:
+            json.dump(art, f, indent=1)
     print(json.dumps(out))
 
 
@@ -204,6 +254,15 @@ def main():
     ap.add_argument("--maxk", type=int, default=200)
     ap.add_argument("--samples", type=int, default=20)
     ap.add_argument("--kernel-cache", dest="kernel_cache", default=None)
+    ap.add_argument("--out", default=None,
+                    help="global: write a JSON evidence artifact here")
+    ap.add_argument("--host-kernel", dest="host_kernel",
+                    action="store_true",
+                    help="global: build the kernel on the host and ship "
+                         "it to the device (default: build on device)")
+    ap.add_argument("--no-adapt-mass", dest="no_adapt_mass",
+                    action="store_true",
+                    help="global: disable the Welford metric warmup")
     ap.add_argument("--setpmts", default=None,
                     help="reference-format SetPMTS.txt (JSON lines)")
     ap.add_argument("--attempt", type=int, default=0,

@@ -261,12 +261,60 @@ def forward_with_noise(wl, noise=0.02, seed=1, kernel_cache=None):
     return dpre, dobs
 
 
+def device_posterior_summary(module, stats, dobs, truth=None, sub=128):
+    """Posterior statistics computed ON DEVICE from the sampler's
+    device-resident buffers (transfer_samples=False runs): mean/std,
+    RMSD, RMSM/correlation vs truth and ESS — only scalars cross the
+    host link (essential over the tunnelled TPU link)."""
+    import jax.numpy as jnp
+
+    from gravinv3dhmc_tpu.runtime.transfer import h2d
+
+    buf = stats["samples_device"]           # (C, nsamples, M) unweighted m
+    n_common = int(min(stats["n_stored"].min(), buf.shape[1]))
+    out = {"n_common": n_common}
+    if n_common == 0:
+        out.update(RMSD=float("nan"), mean_model_max=float("nan"),
+                   std_model_max=float("nan"))
+        if truth is not None:
+            out.update(RMSM=float("nan"),
+                       posterior_truth_corr=float("nan"))
+        return out, None
+    sl = buf[:, :n_common]
+    mean_m = jnp.mean(sl, axis=(0, 1))
+    std_m = jnp.std(sl, axis=(0, 1))
+    wdiag_d = h2d(module.wdiag, module.dtype)
+    dpre = module.predict(mean_m * wdiag_d)
+    dobs_d = h2d(dobs, module.dtype)
+    # mean-removed residual — the misfit convention the inversion targets
+    # (reference: inversion/potential.py:706-708); the absolute offset is
+    # unconstrained by design, so an offset-inclusive RMSD would measure
+    # something the posterior never controlled
+    r = (dpre - jnp.mean(dpre)) - (dobs_d - jnp.mean(dobs_d))
+    out["RMSD"] = float(jnp.sqrt(jnp.mean(r ** 2)))
+    out["mean_model_max"] = float(jnp.max(mean_m))
+    out["std_model_max"] = float(jnp.max(std_m))
+    if truth is not None:
+        t_d = h2d(truth, module.dtype)
+        out["RMSM"] = float(jnp.sqrt(jnp.mean((mean_m - t_d) ** 2)))
+        out["posterior_truth_corr"] = float(
+            jnp.corrcoef(jnp.stack([mean_m, t_d]))[0, 1])
+    if n_common >= 8:
+        from gravinv3dhmc_tpu.diagnostics import ess_jax
+        idx = np.random.RandomState(0).choice(
+            buf.shape[2], size=min(buf.shape[2], sub), replace=False)
+        ess = ess_jax(sl[:, :, jnp.asarray(idx)])
+        out["ess_median"] = float(jnp.median(ess))
+    return out, mean_m
+
+
 def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             Lrange=(5, 20), Sigma=0.001, RegulFactor=1.0,
             regularization="MS", beta=0.001, wavelet=False, chunk_size=64,
             save_folder=None, seed=100, verbose=True, kernel_cache=None,
             sampler="hmc", nwarmup=None, temperature=None,
-            adapt_step_size=False, adapt_mass=False, adapt_chunks=10):
+            adapt_step_size=False, adapt_mass=False, adapt_chunks=10,
+            kernel_device=False, transfer_samples=True):
     """Shared sampling driver (reference: example/*/main_*.py pattern).
 
     ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
@@ -274,12 +322,19 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
     extensions (inversion/nuts.py, inversion/chees.py) with dual-averaging
     step size; ``ndraws`` doubles as the warm-up length for those unless
     ``nwarmup`` is given.
+
+    ``kernel_device=True`` builds the sensitivity kernel on the
+    accelerator (GravMagModule kernel_device path — the whole-Earth
+    link-safe configuration) and ``transfer_samples=False`` keeps the
+    posterior buffers device-resident, with statistics computed on device
+    (:func:`device_posterior_summary`).
     """
     mesh_kwargs = dict(wl.get("mesh_kwargs", {}))
     t0 = time.time()
     module = GravMagModule(dobs, wl["mrange"], wl["mspacing"], wl["obs"],
                            wavelet=wavelet, verbose=verbose,
-                           kernel_cache=kernel_cache, **mesh_kwargs)
+                           kernel_cache=kernel_cache,
+                           kernel_device=kernel_device, **mesh_kwargs)
     M = module.n_active
     initial = np.full(M, 0.001)
     aprior = np.full(M, 0.001)
@@ -297,9 +352,23 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             regularization=regularization, beta=beta, seed=seed, Sigma=Sigma,
             save_folder=save_folder or "result/chain", nchains=nchains,
             chunk_size=chunk_size, verbose=verbose,
-            write_files=save_folder is not None,
+            write_files=save_folder is not None and transfer_samples,
             adapt_step_size=adapt_step_size, adapt_mass=adapt_mass,
-            adapt_chunks=adapt_chunks)
+            adapt_chunks=adapt_chunks, transfer_samples=transfer_samples)
+        if not transfer_samples:
+            # device-resident finish: stats on device, scalars only
+            out, _ = device_posterior_summary(module, stats, dobs,
+                                              truth=wl.get("rho"))
+            out.update(sampler=sampler, total_s=time.time() - t0,
+                       sampling_s=stats["elapsed_s"],
+                       grad_evals_per_s=stats["grad_evals_per_s"],
+                       accept_ratio=stats["accept_ratio"],
+                       step_size=stats["step_size"],
+                       adapted_mass=stats.get("adapted_mass", False))
+            if out.get("ess_median") is not None:
+                out["ess_per_s_median"] = (out["ess_median"]
+                                           / max(stats["elapsed_s"], 1e-9))
+            return module, stats, None, None, out
         chains = np.stack([stats["samples"][c, : int(stats["n_stored"][c])]
                            for c in range(nchains)])
     elif sampler in ("nuts", "chees"):
@@ -339,7 +408,12 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             "sampler must be one of 'hmc', 'nuts', 'chees'")
     total = time.time() - t0
     mean, std = diagnostics.posterior_stats(chains)
-    dpre_mean = module.A @ mean
+    if module.A is not None:
+        dpre_mean = module.A @ mean
+    else:  # device-built kernel: forward on device
+        from gravinv3dhmc_tpu.runtime.transfer import h2d
+        dpre_mean = np.asarray(module.predict(
+            h2d(mean * module.wdiag, module.dtype)), np.float64)
     out = diagnostics.summarize(chains, dobs=dobs, dpre=dpre_mean,
                                 truth=wl.get("rho"), post_mean=mean)
     out.update(sampler=sampler, total_s=total,

@@ -426,6 +426,7 @@ class HamiltonianMC:
                 or self.regularization not in ("MS", "Damping")
                 or self.nchains % 32 != 0       # kernel tiles chains by 32
                 or self.adapt_mass              # fused uses identity metric
+                or getattr(self.model, "Aw", None) is None  # device-built
                 or (getattr(self.model, "Awcp", None) is not None
                     and self.model.wavelet)):
             return None
@@ -535,27 +536,44 @@ class HamiltonianMC:
         attempted = 0
         grad_evals = 0
         # ---- warmup adaptation schedule (Stan-style windows over chunks):
-        #   [1, w1]        dual-average dt under the initial kinetic
-        #   (w1, w1+w2]    continue DA while Welford accumulates moments
-        #   at w1+w2       switch to the estimated diagonal metric,
-        #                  re-seed DA (a dt tuned for one metric is invalid
-        #                  under another)
-        #   (w1+w2, W]     re-tune dt under the new metric
-        #   at W           freeze dt, RESET the accept counters so no
-        #                  stored sample was drawn under a still-changing
-        #                  kernel (non-diminishing adaptation during
-        #                  collection biases the posterior buffer)
+        #   [1, w1]          dual-average dt under the initial kinetic
+        #   slow windows     DOUBLING Welford windows; at each window end
+        #                    the diagonal metric is re-estimated from that
+        #                    window alone and DA re-seeded — early windows
+        #                    measure the initial descent, only the last
+        #                    (longest) window sees posterior-scale motion
+        #                    (Stan 25/50/100... rationale)
+        #   final w_f        re-tune dt under the final metric
+        #   at W             freeze dt, RESET the accept counters so no
+        #                    stored sample was drawn under a still-changing
+        #                    kernel (non-diminishing adaptation during
+        #                    collection biases the posterior buffer)
         # adapt_mass implies step-size re-tuning; without adapt_mass the
         # schedule degenerates to a single DA window of W chunks.
         adapting = self.adapt_step_size or self.adapt_mass
         W = int(self.adapt_chunks) if adapting else 0
+        metric_switches = []  # chunk indices where the metric updates
         if self.adapt_mass:
-            w1 = max(1, int(W * 0.4))
-            w2 = max(1, int(W * 0.4))
-            if w1 + w2 >= W:
-                W = w1 + w2 + 1  # always leave a re-tune window
+            W = max(W, 8)
+            w1 = max(1, W // 10)
+            # the final window must give dual averaging enough updates to
+            # settle after its last re-init, or the frozen log_eps_avg is
+            # dominated by the early oscillation
+            w_f = max(3, W // 5)
+            slow_total = W - w1 - w_f
+            base = max(1, slow_total // 7)  # 1+2+4 doubling fills ~7x
+            lens, acc, cur = [], 0, base
+            while acc + cur < slow_total and len(lens) < 6:
+                lens.append(cur)
+                acc += cur
+                cur *= 2
+            lens.append(slow_total - acc)
+            edge = w1
+            for ln in lens:
+                edge += ln
+                metric_switches.append(edge)
         else:
-            w1, w2 = W, 0
+            w1 = W
         if max_chunks is None:
             max_chunks = max(200, 100 * total // self.chunk_size + 10) + W
 
@@ -629,14 +647,14 @@ class HamiltonianMC:
                 da = dual_averaging_update(da, float(acc_rate_d))
                 dt_cur = float(np.exp(da["log_eps"]))
                 if self.adapt_mass and n_chunks == w1:
-                    # open the Welford window: discard the initial
+                    # open the first Welford window: discard the initial
                     # transient's moments
                     carry = carry[:8] + (jnp.zeros_like(carry[8]),
                                          jnp.zeros_like(carry[9]),
                                          jnp.zeros_like(carry[10]))
-                if self.adapt_mass and n_chunks == w1 + w2:
-                    # inverse mass = pooled per-chain posterior variance
-                    # with Stan's shrinkage toward unity (nuts.py
+                if self.adapt_mass and n_chunks in metric_switches:
+                    # inverse mass = pooled per-chain variance of THIS
+                    # window with Stan's shrinkage toward unity (nuts.py
                     # welford_variance rationale), computed on device
                     cnt = carry[10]
                     var = jnp.mean(carry[9], axis=0) / jnp.maximum(
@@ -644,17 +662,24 @@ class HamiltonianMC:
                     n_draws_used = cnt * C
                     var = (n_draws_used / (n_draws_used + 5.0)) * var \
                         + 1e-3 * (5.0 / (n_draws_used + 5.0))
-                    inv_mass = jnp.clip(var, 1e-12, None)
-                    # the kinetic switches from the reference's
-                    # Sigma-scaled identity to the proper diagonal metric:
-                    # re-seed dt at a matched position-step scale
-                    # (dx ~ dt*Sigma before, dt*std after) and re-tune
-                    med_std = float(jnp.median(jnp.sqrt(inv_mass)))
-                    dt_cur = float(np.clip(
-                        dt_cur * float(self.Sigma) / max(med_std, 1e-30),
-                        1e-10, 1e6))
+                    new_inv_mass = jnp.clip(var, 1e-12, None)
+                    med_std = float(jnp.median(jnp.sqrt(new_inv_mass)))
+                    if inv_mass is None:
+                        # first switch: the kinetic changes from the
+                        # reference's Sigma-scaled identity to the proper
+                        # diagonal metric — re-seed dt at a matched
+                        # position-step scale (dx ~ dt*Sigma before,
+                        # dt*std after)
+                        dt_cur = float(np.clip(
+                            dt_cur * float(self.Sigma)
+                            / max(med_std, 1e-30), 1e-10, 1e6))
+                    inv_mass = new_inv_mass
                     da = dual_averaging_init(dt_cur,
                                              target=self.adapt_target)
+                    # fresh Welford window for the next (longer) estimate
+                    carry = carry[:8] + (jnp.zeros_like(carry[8]),
+                                         jnp.zeros_like(carry[9]),
+                                         jnp.zeros_like(carry[10]))
                     if self.verbose:
                         print(f"adapted diagonal mass at chunk {n_chunks} "
                               f"(median std {med_std:.4g}); re-tuning dt "
@@ -674,6 +699,20 @@ class HamiltonianMC:
                         print(f"warmup done at chunk {n_chunks}: frozen "
                               f"dt={dt_cur:.5g}; sample storage reset",
                               flush=True)
+            elif (adapting and acc_min == 0
+                    and float(acc_rate_d) < 0.25 * self.adapt_target):
+                # emergency brake: the frozen dt rejects (almost)
+                # everything and nothing is stored yet — halve dt and
+                # reset the (empty) counters so storage stays consistent
+                # with one kernel. Cannot trigger once samples exist.
+                dt_cur *= 0.5
+                carry = (carry[:5] + (jnp.zeros_like(carry[5]),)
+                         + carry[6:])
+                attempted, acc_sum = 0, 0
+                if self.verbose:
+                    print(f"post-freeze accept "
+                          f"{float(acc_rate_d):.2%} — halving dt to "
+                          f"{dt_cur:.5g}", flush=True)
             if callback is not None:
                 # per-chain counters transfer only when a callback asks
                 callback(np.asarray(carry[5]).astype(np.int64), carry[0])

@@ -116,7 +116,8 @@ class GravMagModule:
                  weightfactor=0.5, coordinate="cartesian", njobs=1,
                  field="gravity", mangle=(90, 0), wavelet_mode=None,
                  wavelet=False, kernel_backend="numpy", dtype=jnp.float32,
-                 kernel_cache=None, verbose=True, **kwargs):
+                 kernel_cache=None, kernel_device=False, verbose=True,
+                 **kwargs):
         self.dobs = np.asarray(dobs, dtype=np.float64)
         self.fixed = fixed
         self.grav_fix = np.asarray(grav_fix, dtype=np.float64) if fixed else None
@@ -178,6 +179,22 @@ class GravMagModule:
         self.mzs = mesh.get_zs()
 
         # ----- kernel matrix ---------------------------------------------
+        if kernel_device:
+            # ON-DEVICE kernel build (spherical gravity): far-field GLQ on
+            # the accelerator + native near-field corrections + device-side
+            # weighting. The dense (D, M) matrix never crosses the host
+            # link — essential for the whole-Earth case over a tunnelled
+            # TPU (2.1 GB h2d otherwise) and faster than the host build.
+            if not (coordinate == "spherical" and field == "gravity"):
+                raise NotImplementedError(
+                    "kernel_device=True is implemented for spherical "
+                    "gravity (the tesseroid device builder)")
+            if self.wavelet:
+                raise NotImplementedError(
+                    "wavelet compression needs the host kernel; drop "
+                    "kernel_device or wavelet")
+            self._init_kernel_device(kernel_cache, weightfactor, verbose)
+            return
         if verbose:
             print("Calculating {} field in {} coordinate.".format(field, coordinate))
             print("Start of calculate kernel")
@@ -214,6 +231,68 @@ class GravMagModule:
             if kernel_cache and not kernel_cache.endswith(".npy"):
                 _os.replace(kernel_cache + ".npy", kernel_cache)
         self._finish_init(kernel, weightfactor, verbose, start)
+
+    def _init_kernel_device(self, kernel_cache, weightfactor, verbose):
+        """Device-built weighted kernel: GravMagModule surface with the
+        matrix resident on the accelerator (self.A/self.Aw stay None
+        unless a host cache supplied the exact values)."""
+        import os as _os
+
+        from ..ops import tesseroid as tess
+        from ..runtime.transfer import d2h_chunked, h2d
+
+        t0 = time.time()
+        self.mesh.addprop("density", np.zeros(self.mesh.size))
+        cells = self.mesh.cell_bounds(only_active=True)
+        K_host = None
+        if kernel_cache and _os.path.exists(kernel_cache):
+            K_host = np.load(kernel_cache, mmap_mode=None)
+            if verbose:
+                print(f"loaded host kernel cache {kernel_cache} for "
+                      "near-field corrections")
+        if verbose:
+            print("Start of calculate kernel (device builder)")
+        K_dev, (oi, ci) = tess.tesseroid_kernel_device(
+            "gz", self.lonobs, self.latobs, self.heightobs, cells,
+            host_kernel=K_host, dtype=self.dtype)
+        self.nearfield_pairs = int(oi.size)
+        if verbose:
+            print("End of calculate kernel:%.6f s" % (time.time() - t0))
+            print("Start to weight kernel")
+        t1 = time.time()
+        # device-side weighting; only the (M,) diagonal crosses the link
+        import jax as _jax
+
+        col_sq = _jax.jit(
+            lambda K: jnp.sum(K.astype(jnp.float32) ** 2, axis=0))(K_dev)
+        wdiag_dev = col_sq ** weightfactor
+        wdiag = d2h_chunked(wdiag_dev).astype(np.float64)
+        wdiag_inv = np.where(wdiag == 0, 0.0,
+                             1.0 / np.where(wdiag == 0, 1.0, wdiag))
+        Aw_dev = _jax.jit(lambda K, wi: K * wi[None, :],
+                          donate_argnums=(0,))(
+            K_dev, h2d(wdiag_inv, self.dtype))
+        if verbose:
+            print("End of weighting kernel: %.6f s" % (time.time() - t1))
+        self.A = np.asarray(K_host) if K_host is not None else None
+        self.Aw = (self.A * wdiag_inv[None, :]
+                   if self.A is not None else None)
+        self.wdiag = wdiag
+        self.wdiag_inv = wdiag_inv
+        self.n_active = int(cells.shape[0])
+        self._active3d = (self.mesh.active.reshape(self.mesh.shape)
+                          if not self.mesh.active.all() else None)
+        self.Awcp = None
+        self._model_transform = None
+        key = jnp.dtype(self.dtype).name
+        self._dev = {key: {
+            "Aw": Aw_dev,
+            "dobs": h2d(self.dobs, self.dtype),
+            "grav_fix": (h2d(self.grav_fix, self.dtype)
+                         if self.fixed else None),
+        }}
+        self._potential_cache = {}
+        self.kernel_build_s = time.time() - t0
 
     def _finish_init(self, kernel, weightfactor, verbose, start):
         # ----- weighting --------------------------------------------------

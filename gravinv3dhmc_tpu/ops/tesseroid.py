@@ -114,18 +114,27 @@ def _expand(b, nlon, nlat, nr):
 
 
 def adaptive_leaves(lon_r, sinlat, coslat, radius, cells, ratio,
-                    max_depth=MAX_DEPTH):
+                    max_depth=MAX_DEPTH, pairs=None):
     """Resolve the adaptive subdivision for a block of observation points.
 
     Returns (pair_obs, pair_cell, leaf_bounds): flat arrays where each leaf
     is a (obs index within block, cell index, 6 bounds) quadrature task.
+
+    ``pairs=(obs_idx, cell_idx)`` restricts the worklist to an explicit
+    pair subset instead of the full (obs x cell) cross product — the
+    near-field correction path of the device kernel builder.
     """
     n_obs = lon_r.size
     n_cells = cells.shape[0]
-    # initial worklist: the full (obs x cell) cross product
-    obs_idx = np.repeat(np.arange(n_obs), n_cells)
-    cell_idx = np.tile(np.arange(n_cells), n_obs)
-    bounds = np.tile(cells, (n_obs, 1))
+    if pairs is not None:
+        obs_idx = np.asarray(pairs[0], dtype=np.int64)
+        cell_idx = np.asarray(pairs[1], dtype=np.int64)
+        bounds = np.asarray(cells, np.float64)[cell_idx]
+    else:
+        # initial worklist: the full (obs x cell) cross product
+        obs_idx = np.repeat(np.arange(n_obs), n_cells)
+        cell_idx = np.tile(np.arange(n_cells), n_obs)
+        bounds = np.tile(cells, (n_obs, 1))
 
     leaves_obs, leaves_cell, leaves_b = [], [], []
     warned = False
@@ -443,43 +452,164 @@ def tesseroid_kernel_matrix(field, lon, lat, height, mesh_or_cells,
     return kernel
 
 
-def subdivision_mask(lon, lat, height, cells, ratio, obs_block=512):
-    """Host: (obs_idx, cell_idx) pairs whose ROOT tesseroid the adaptive
-    engine would subdivide (``distance <= ratio * size`` on any axis,
+def _mask_cell_terms(cells, ratio):
+    """Per-cell subdivision-test constants: the obs-independent pieces of
+    the reference's divisions() test (gravmag/_tesseroid_numba.py:135-157),
+    reduced to ONE squared-distance threshold per cell: the root is
+    subdivided iff d^2 <= max over valid axes of (ratio * L_axis)^2."""
+    w, e, s, n, top, bottom = (cells[:, i] for i in range(6))
+    rt = 0.5 * (top + bottom) + MEAN_EARTH_RADIUS
+    lont = D2R * 0.5 * (w + e)
+    latt = D2R * 0.5 * (s + n)
+    rtop = top + MEAN_EARTH_RADIUS
+    sinlatt, coslatt = np.sin(latt), np.cos(latt)
+    Llon = rtop * np.arccos(np.clip(
+        sinlatt ** 2 + coslatt ** 2 * np.cos(D2R * (e - w)), -1, 1))
+    Llat = rtop * np.arccos(np.clip(
+        np.sin(D2R * n) * np.sin(D2R * s)
+        + np.cos(D2R * n) * np.cos(D2R * s), -1, 1))
+    Lr = top - bottom
+    thr = np.maximum.reduce([
+        np.where(Llon > 0.1, (ratio * Llon) ** 2, -1.0),
+        np.where(Llat > 0.1, (ratio * Llat) ** 2, -1.0),
+        np.where(Lr > 1e3, (ratio * Lr) ** 2, -1.0)])
+    return lont, latt, sinlatt, coslatt, rt, thr
+
+
+def subdivision_mask(lon, lat, height, cells, ratio, obs_block=None,
+                     backend="host"):
+    """(obs_idx, cell_idx) pairs whose ROOT tesseroid the adaptive engine
+    would subdivide (``distance <= ratio * size`` on any axis,
     reference: gravmag/_tesseroid_numba.py:135-157).
 
     These are the near-field pairs where depth-0 GLQ is insufficient;
     everything else evaluates exactly like the adaptive engine's leaf
-    pass. Vectorised over obs blocks to bound the (B, M) temporaries.
+    pass. The cell-dependent thresholds are precomputed once; the (B, M)
+    pair test is a broadcast over obs blocks.
+
+    ``backend='device'`` runs the pair test on the accelerator in f32 (the
+    stable haversine distance form) and transfers only the matched index
+    lists — at whole-Earth scale the host test reads ~0.5e9 f64 pairs
+    while the device one is a trivial elementwise map. f32 thresholding
+    may flip pairs within ~1e-6 relative of the test boundary, where
+    depth-0 GLQ and one subdivision agree to the engine tolerance anyway.
     """
     lon_r = np.radians(np.asarray(lon, np.float64).ravel())
     lat_r = np.radians(np.asarray(lat, np.float64).ravel())
-    sinlat = np.sin(lat_r)
-    coslat = np.cos(lat_r)
     radius = MEAN_EARTH_RADIUS + np.asarray(height, np.float64).ravel()
     cells = np.asarray(cells, np.float64)
     D, M = lon_r.size, cells.shape[0]
+    lont, latt, sinlatt, coslatt, rt, thr = _mask_cell_terms(cells, ratio)
+
+    if backend == "device":
+        import jax
+        import jax.numpy as jnp
+
+        obs_block = min(obs_block or 1024, D)
+        f32 = jnp.float32
+        c_lont = jnp.asarray(lont, f32)
+        c_latt = jnp.asarray(latt, f32)
+        c_coslatt = jnp.asarray(coslatt, f32)
+        c_ht = jnp.asarray(rt - MEAN_EARTH_RADIUS, f32)
+        c_rt = jnp.asarray(rt, f32)
+        c_thr = jnp.asarray(thr, f32)
+        o_lon = jnp.asarray(lon_r, f32)
+        o_lat = jnp.asarray(lat_r, f32)
+        o_cos = jnp.asarray(np.cos(lat_r), f32)
+        o_h = jnp.asarray(radius - MEAN_EARTH_RADIUS, f32)
+        o_r = jnp.asarray(radius, f32)
+
+        @jax.jit
+        def block_mask(sl):
+            lo, la, cl, hr, ra = (jax.lax.dynamic_slice_in_dim(a, sl,
+                                                               obs_block)
+                                  for a in (o_lon, o_lat, o_cos, o_h, o_r))
+            # stable d^2 = (dh)^2 + 4 r rt hav(psi)
+            hav = (jnp.sin(0.5 * (la[:, None] - c_latt)) ** 2
+                   + cl[:, None] * c_coslatt
+                   * jnp.sin(0.5 * (lo[:, None] - c_lont)) ** 2)
+            d2 = ((hr[:, None] - c_ht) ** 2
+                  + 4.0 * ra[:, None] * c_rt * hav)
+            m = d2 <= c_thr
+            return m.ravel(), jnp.sum(m)
+
+        oi_parts, ci_parts = [], []
+        for s0 in range(0, D, obs_block):
+            base = min(s0, max(D - obs_block, 0))  # last block backs up
+            mask_flat, cnt = block_mask(base)
+            n = int(cnt)  # scalar d2h
+            if n == 0:
+                continue
+            # round the nonzero size up so shapes (and compiles) repeat
+            size = 1 << max(int(np.ceil(np.log2(n))), 10)
+            (idx,) = jnp.nonzero(mask_flat, size=size, fill_value=-1)
+            idx = np.asarray(idx)  # <= size * 4 bytes over the link
+            idx = idx[idx >= 0]
+            o = base + idx // M
+            c = idx % M
+            keep = (o >= s0) & (o < min(s0 + obs_block, D))
+            oi_parts.append(o[keep])
+            ci_parts.append(c[keep])
+        if not oi_parts:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+        return (np.concatenate(oi_parts).astype(np.int32),
+                np.concatenate(ci_parts).astype(np.int32))
+
+    obs_block = obs_block or 2048
+    sinlat = np.sin(lat_r)
+    coslat = np.cos(lat_r)
     oi_parts, ci_parts = [], []
-    cell_idx = np.arange(M)
     for s0 in range(0, D, obs_block):
         s1 = min(s0 + obs_block, D)
-        B = s1 - s0
-        lo = np.repeat(lon_r[s0:s1], M)
-        sl = np.repeat(sinlat[s0:s1], M)
-        cl = np.repeat(coslat[s0:s1], M)
-        ra = np.repeat(radius[s0:s1], M)
-        b = np.tile(cells, (B, 1))
-        d, Llon, Llat, Lr = _distance_size(lo, cl, sl, ra, b)
-        nlon, nlat, nr, _ = _split_axis_counts(d, Llon, Llat, Lr, ratio)
-        flat = np.flatnonzero(nlon * nlat * nr > 1)
-        oi_parts.append(s0 + flat // M)
-        ci_parts.append(cell_idx[flat % M])
+        cospsi = (sinlat[s0:s1, None] * sinlatt[None, :]
+                  + coslat[s0:s1, None] * coslatt[None, :]
+                  * np.cos(lon_r[s0:s1, None] - lont[None, :]))
+        d2 = (radius[s0:s1, None] ** 2 + rt[None, :] ** 2
+              - 2.0 * radius[s0:s1, None] * rt[None, :] * cospsi)
+        o, c = np.nonzero(d2 <= thr[None, :])
+        oi_parts.append(s0 + o)
+        ci_parts.append(c)
     return (np.concatenate(oi_parts).astype(np.int32),
             np.concatenate(ci_parts).astype(np.int32))
 
 
+def _nearfield_pair_values(kname, lon, lat, height, oi, ci, cells, ratio,
+                           pair_block=65536):
+    """UNSCALED adaptive-engine values of an explicit pair subset.
+
+    Native C++/OpenMP engine (runtime/native/tessglq.cpp kernel_pairs)
+    with a vectorised numpy-worklist fallback — either way the whole
+    subset is evaluated in bulk, not one observation at a time (the
+    round-2 per-observation loop cost ~1100 s at whole-Earth scale).
+    """
+    try:
+        from ..runtime import tessglq
+        return tessglq.kernel_pairs(kname, lon, lat, height, oi, ci, cells,
+                                    ratio)
+    except Exception:
+        pass
+    lon_rr = np.radians(lon)
+    lat_rr = np.radians(lat)
+    sinla, cosla = np.sin(lat_rr), np.cos(lat_rr)
+    rad = MEAN_EARTH_RADIUS + height
+    kfn_np = _NP_KERNELS[kname]
+    vals = np.zeros(oi.size, np.float64)
+    for s0 in range(0, oi.size, pair_block):
+        s1 = min(s0 + pair_block, oi.size)
+        # pair-restricted worklist: leaf 'cell' ids are PAIR slots because
+        # the cells array passed in is already gathered per pair
+        p_obs, p_slot, leaf_b = adaptive_leaves(
+            lon_rr, sinla, cosla, rad, cells[ci[s0:s1]], ratio,
+            pairs=(oi[s0:s1], np.arange(s1 - s0)))
+        lc, slc, clc, rcn, sc = _glq_nodes(leaf_b, np)
+        v = sc * kfn_np(lon_rr[p_obs], sinla[p_obs], cosla[p_obs],
+                        rad[p_obs], lc, slc, clc, rcn)
+        np.add.at(vals, s0 + p_slot, v)
+    return vals
+
+
 def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
-                            ratio=None, host_kernel=None, obs_block=32,
+                            ratio=None, host_kernel=None, obs_block=256,
                             winv=None, dtype=None):
     """Dense (D, M) sensitivity matrix built ON DEVICE — the link-safe
     path for kernels too large to ship over a slow host<->device link.
@@ -549,37 +679,17 @@ def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
     kernel = jnp.concatenate(rows, axis=0)
 
     # --- near field: exact host-engine values scattered in ------------
-    oi, ci = subdivision_mask(lon, lat, height, cells, ratio)
+    # the pair test itself runs on device when the pair count is large
+    # (the host broadcast would read ~0.5e9 f64 at whole-Earth scale)
+    mask_backend = "device" if D * M > 20_000_000 else "host"
+    oi, ci = subdivision_mask(lon, lat, height, cells, ratio,
+                              backend=mask_backend)
     if oi.size:
         if host_kernel is not None:
             vals = np.asarray(host_kernel)[oi, ci].astype(np.float64)
         else:
-            # evaluate ONLY the masked pairs with the host worklist engine
-            vals = np.empty(oi.size, np.float64)
-            order = np.argsort(oi, kind="stable")
-            oi_s, ci_s = oi[order], ci[order]
-            starts = np.flatnonzero(np.r_[True, oi_s[1:] != oi_s[:-1]])
-            ends = np.r_[starts[1:], oi_s.size]
-            lon_rr = np.radians(lon)
-            sinla = np.sin(np.radians(lat))
-            cosla = np.cos(np.radians(lat))
-            rad = MEAN_EARTH_RADIUS + height
-            kfn_np = _NP_KERNELS[kname]
-            for a, b in zip(starts, ends):
-                o = oi_s[a]
-                sub = cells[ci_s[a:b]]
-                p_obs, p_cell, leaf_b = adaptive_leaves(
-                    lon_rr[o:o + 1], sinla[o:o + 1], cosla[o:o + 1],
-                    rad[o:o + 1], sub, ratio)
-                lc, slc, clc, rcn, sc = _glq_nodes(leaf_b, np)
-                v = sc * kfn_np(np.full(p_obs.size, lon_rr[o]),
-                                np.full(p_obs.size, sinla[o]),
-                                np.full(p_obs.size, cosla[o]),
-                                np.full(p_obs.size, rad[o]),
-                                lc, slc, clc, rcn)
-                row = np.zeros(sub.shape[0])
-                np.add.at(row, p_cell, v)
-                vals[order[a:b]] = row * _SCALES[field]
+            vals = _nearfield_pair_values(kname, lon, lat, height, oi, ci,
+                                          cells, ratio) * _SCALES[field]
         if winv is not None:
             corr_scale = np.asarray(winv, np.float64)[ci]
             vals = vals * corr_scale

@@ -211,9 +211,59 @@ void kernel_matrix(const double *lon_deg, const double *lat_deg,
     }
 }
 
+template <int FIELD>
+void kernel_pairs(const double *lon_deg, const double *lat_deg,
+                  const double *height, const int64_t *oi, const int64_t *ci,
+                  int64_t n_pairs, const double *cells, double ratio,
+                  double *out) {
+    // sparse (obs, cell) subset of the full matrix — used by the device
+    // kernel builder to evaluate only near-field pairs exactly while the
+    // accelerator handles the far field
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+    for (int64_t p = 0; p < n_pairs; ++p) {
+        Obs o;
+        const int64_t l = oi[p];
+        o.lon = D2R * lon_deg[l];
+        const double lat = D2R * lat_deg[l];
+        o.sinlat = sin(lat);
+        o.coslat = cos(lat);
+        o.radius = MEAN_EARTH_RADIUS + height[l];
+        const double *cb = cells + ci[p] * 6;
+        Cell c;
+        c.w = cb[0];
+        c.e = cb[1];
+        c.s = cb[2];
+        c.n = cb[3];
+        c.top = cb[4];
+        c.bottom = cb[5];
+        out[p] = adaptive_cell<FIELD>(o, c, ratio);
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+void tessglq_kernel_pairs(int field, const double *lon, const double *lat,
+                          const double *height, const int64_t *oi,
+                          const int64_t *ci, int64_t n_pairs,
+                          const double *cells, double ratio, double *out) {
+    switch (field) {
+        case F_POT: kernel_pairs<F_POT>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GX:  kernel_pairs<F_GX>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GY:  kernel_pairs<F_GY>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GZ:  kernel_pairs<F_GZ>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GXX: kernel_pairs<F_GXX>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GXY: kernel_pairs<F_GXY>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GXZ: kernel_pairs<F_GXZ>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GYY: kernel_pairs<F_GYY>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GYZ: kernel_pairs<F_GYZ>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        case F_GZZ: kernel_pairs<F_GZZ>(lon, lat, height, oi, ci, n_pairs, cells, ratio, out); break;
+        default: break;
+    }
+}
 
 // field ids match the Field enum above
 void tessglq_kernel_matrix(int field, const double *lon, const double *lat,

@@ -36,10 +36,15 @@ def get_lib():
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
         dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        iptr = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.tessglq_kernel_matrix.restype = None
         lib.tessglq_kernel_matrix.argtypes = [
             ctypes.c_int, dptr, dptr, dptr, ctypes.c_int64,
             dptr, ctypes.c_int64, ctypes.c_double, dptr]
+        lib.tessglq_kernel_pairs.restype = None
+        lib.tessglq_kernel_pairs.argtypes = [
+            ctypes.c_int, dptr, dptr, dptr, iptr, iptr, ctypes.c_int64,
+            dptr, ctypes.c_double, dptr]
         lib.tessglq_num_threads.restype = ctypes.c_int
         lib.tessglq_num_threads.argtypes = []
         _lib = lib
@@ -58,4 +63,20 @@ def kernel_matrix(field, lon, lat, height, cells, ratio):
     out = np.empty((D, M), dtype=np.float64)
     lib.tessglq_kernel_matrix(FIELD_IDS[field], lon, lat, height, D,
                               cells, M, float(ratio), out)
+    return out
+
+
+def kernel_pairs(field, lon, lat, height, oi, ci, cells, ratio):
+    """Unscaled kernel values of an explicit (obs, cell) pair subset —
+    the near-field correction path of the device kernel builder."""
+    lib = get_lib()
+    lon = np.ascontiguousarray(lon, dtype=np.float64)
+    lat = np.ascontiguousarray(lat, dtype=np.float64)
+    height = np.ascontiguousarray(height, dtype=np.float64)
+    oi = np.ascontiguousarray(oi, dtype=np.int64)
+    ci = np.ascontiguousarray(ci, dtype=np.int64)
+    cells = np.ascontiguousarray(cells, dtype=np.float64)
+    out = np.empty(oi.size, dtype=np.float64)
+    lib.tessglq_kernel_pairs(FIELD_IDS[field], lon, lat, height, oi, ci,
+                             oi.size, cells, float(ratio), out)
     return out

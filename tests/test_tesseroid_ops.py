@@ -243,6 +243,47 @@ def test_device_kernel_matches_host():
     assert err < 1e-5, err
 
 
+def test_subdivision_mask_backends_and_pair_engines_agree():
+    """The device-side f32 pair test must select the same near-field set
+    as the host f64 broadcast, and both pair-subset engines (native C++,
+    vectorised numpy worklist) must reproduce the full-matrix entries."""
+    from gravinv3dhmc_tpu.ops import tesseroid as tess
+
+    cells = np.array([[w, w + 3.0, -1.5, 1.5, -3e5, -6e5]
+                      for w in range(-180, 180, 3)], np.float64)
+    lons = np.linspace(-180, 177.0, 120)
+    lats = np.full(lons.size, 0.5)
+    h = np.full(lons.size, 5e3)
+    kh = tess.tesseroid_kernel_matrix("gz", lons, lats, h, cells)
+    oi, ci = tess.subdivision_mask(lons, lats, h, cells, 1.6,
+                                   backend="host")
+    oi_d, ci_d = tess.subdivision_mask(lons, lats, h, cells, 1.6,
+                                       backend="device")
+    assert set(zip(oi.tolist(), ci.tolist())) == set(
+        zip(oi_d.tolist(), ci_d.tolist()))
+    want = kh[oi, ci]
+    scale = np.abs(kh).max()
+    # bulk pair values (native engine if the toolchain built, else the
+    # numpy worklist — exercise whichever the install resolves to)
+    got = tess._nearfield_pair_values("gz", lons, lats, h, oi, ci, cells,
+                                      1.6) * tess._SCALES["gz"]
+    assert np.abs(got - want).max() / scale < 1e-12
+    # and the numpy worklist explicitly (the no-toolchain fallback)
+    lon_rr = np.radians(lons)
+    sinla, cosla = np.sin(np.radians(lats)), np.cos(np.radians(lats))
+    rad = tess.MEAN_EARTH_RADIUS + h
+    p_obs, p_slot, leaf_b = tess.adaptive_leaves(
+        lon_rr, sinla, cosla, rad, cells[ci], 1.6,
+        pairs=(oi, np.arange(oi.size)))
+    lc, slc, clc, rcn, sc = tess._glq_nodes(leaf_b, np)
+    v = sc * tess._NP_KERNELS["gz"](lon_rr[p_obs], sinla[p_obs],
+                                    cosla[p_obs], rad[p_obs],
+                                    lc, slc, clc, rcn)
+    out = np.zeros(oi.size)
+    np.add.at(out, p_slot, v)
+    assert np.abs(out * tess._SCALES["gz"] - want).max() / scale < 1e-12
+
+
 def test_device_kernel_per_entry_accuracy_midrange():
     """PER-ENTRY relative accuracy of the f32 device far-field evaluation
     for mid-range pairs (just outside the near-field mask) — the regime
