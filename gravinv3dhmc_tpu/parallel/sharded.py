@@ -53,26 +53,59 @@ def make_mesh(n_devices=None, chains_axis=None, devices=None):
 
 def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
                            grav_fix=None, regularization="Damping",
-                           beta=0.01, wm_sq=None, dtype=jnp.float32):
+                           beta=0.01, wm_sq=None, mshape=None, active=None,
+                           dtype=jnp.float32):
     """Sharded potential-energy closure.
 
     ``Aw`` is placed with P(None, 'model') — column-sharded over ICI;
     model-space vectors with P('model'); the chain batch enters as
     P('chains', 'model'). The data residual is replicated (D is small).
-    Elementwise regularizers (Damping/MS) stay fully sharded; Smoothness/TV
-    would require a gather over 'model' and are left to the single-chip
-    path for now.
+    Elementwise regularizers (Damping/MS) stay fully sharded.
+
+    Smoothness/TV are grid regularizers: the flat model vector reshapes to
+    ``mshape`` = (nz, ny, nx) and first-differences run along all three
+    axes (ops/fd.py; reference: inversion/potential.py:786-810). The grid
+    is annotated P('model', None, None) when nz divides the 'model' axis —
+    the z-differences then need exactly one boundary plane per shard and
+    GSPMD inserts the halo exchange (collective-permute over ICI); x/y
+    differences stay shard-local. Carved meshes (``active`` mask, packed
+    length-M vectors) scatter to the dense grid first, like the
+    single-chip path (inversion/potential.py:443-450).
     """
-    if regularization not in ("Damping", "MS"):
-        raise NotImplementedError(
-            "sharded potential supports elementwise regularizers "
-            "(Damping, MS); Smoothness/TV run on the single-chip path")
+    if regularization not in ("Damping", "MS", "Smoothness", "TV"):
+        raise ValueError(
+            "Please choose regularization from 'MS','Damping', "
+            "'Smoothness', 'TV'.")
+    needs_grid = regularization in ("Smoothness", "TV")
+    if needs_grid and mshape is None:
+        raise ValueError(
+            "sharded Smoothness/TV need mshape=(nz, ny, nx) "
+            "(and the active mask for carved meshes)")
     from ..inversion.potential import Potential
+    from ..ops import fd
 
     col = NamedSharding(mesh, P(None, "model"))
     vec = NamedSharding(mesh, P("model"))
     rep = NamedSharding(mesh, P())
     dobs_d = jax.device_put(jnp.asarray(dobs, dtype), rep)
+
+    grid_sh = None
+    active_idx = None
+    active3d_np = None
+    if needs_grid:
+        mshape = tuple(int(s) for s in mshape)
+        nz = mshape[0]
+        n_model = int(mesh.shape["model"])
+        # shard the dense grid along z when it tiles the 'model' axis —
+        # the dz halo is then one plane per shard (GSPMD inserts a
+        # collective-permute); otherwise leave the (small) grid replicated
+        grid_spec = (P("model", None, None) if nz % n_model == 0
+                     else P())
+        grid_sh = NamedSharding(mesh, grid_spec)
+        if active is not None and not np.asarray(active).all():
+            active = np.asarray(active, bool).ravel()
+            active_idx = jnp.asarray(np.flatnonzero(active))
+            active3d_np = active.reshape(mshape)
     params = {
         "Aw": jax.device_put(jnp.asarray(Aw, dtype), col),
         "dobs_c": dobs_d - jnp.mean(dobs_d),
@@ -89,8 +122,30 @@ def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
             jnp.asarray(wm_sq if wm_sq is not None
                         else np.ones(np.shape(Aw)[1]), dtype), vec),
     }
+    if needs_grid and active_idx is not None:
+        params["active_idx"] = jax.device_put(active_idx, rep)
+        params["active3d"] = jax.device_put(jnp.asarray(active3d_np), rep)
     has_fix = grav_fix is not None
+    has_carve = needs_grid and active_idx is not None
     beta = float(beta)
+
+    def grid_term(dm, prm):
+        # packed active-cell vector -> dense (nz, ny, nx) grid, sharded
+        # along z; first differences along x/y are shard-local, dz rides
+        # a GSPMD halo exchange (single-chip analogue:
+        # inversion/potential.py:443-464)
+        from ..ops import fd as fd_ops
+        if has_carve:
+            full = jnp.zeros(int(np.prod(mshape)), dtype=dm.dtype)
+            full = full.at[prm["active_idx"]].set(dm)
+            act = prm["active3d"]
+        else:
+            full, act = dm, None
+        g3 = jax.lax.with_sharding_constraint(
+            jnp.reshape(full, mshape), grid_sh)
+        if regularization == "Smoothness":
+            return fd_ops.smoothness_value(g3, mshape, jnp, act)
+        return fd_ops.tv_value(g3, mshape, beta, jnp, act)
 
     def potential_scalar(mw, alpha, prm):
         # (M,) sharded on 'model'; contraction over M -> psum over 'model'
@@ -101,9 +156,12 @@ def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
         dm = mw - prm["aprior_mw"]
         if regularization == "Damping":
             u_model = jnp.sum(dm * dm)
-        else:  # MS, Wm^2-weighted like the single-chip potential
+        elif regularization == "MS":
+            # Wm^2-weighted like the single-chip potential
             dm2 = dm * dm
             u_model = jnp.sum(prm["wm_sq"] * dm2 / (dm2 + beta))
+        else:  # Smoothness / TV on the (sharded) dense grid
+            u_model = grid_term(dm, prm)
         return u_data + alpha * u_model, (dpre, u_data, u_model)
 
     grad_fn = jax.value_and_grad(potential_scalar, has_aux=True)

@@ -95,6 +95,117 @@ def test_sharded_ms_potential_matches_unsharded(problem):
                                rtol=1e-8, atol=1e-12)
 
 
+@pytest.fixture(scope="module")
+def carved_problem():
+    """Topography-carved mesh (top layer removed over half the area) for
+    the grid regularizers — the case the reference cannot regularise with
+    fd3d at all (reference: inversion/potential.py:266-582 assumes a full
+    regular grid)."""
+    bounds = (0, 800, 0, 800, 0, 400)
+    spacing = (100, 100, 100)
+    mesh = mesher.PrismMesh(bounds, spacing)
+    rho3 = np.zeros(mesh.shape)
+    rho3[1:3, 3:6, 3:6] = 1.0
+    mesh.addprop("density", rho3.ravel())
+    xo, yo, zo = utils.regular((0, 800, 0, 800), (8, 8), z=0.0)
+    dobs, _ = prism.gz(xo, yo, zo, mesh)
+    xt, yt = np.meshgrid(np.linspace(0, 800, 9), np.linspace(0, 800, 9))
+    ht = -(50.0 + 100.0 * (xt > 400.0))  # carves the top layer on one side
+    module = GravMagModule(dobs, bounds, spacing, (xo, yo, zo),
+                           verbose=False,
+                           mtopo=(xt.ravel(), yt.ravel(), ht.ravel()))
+    assert not module.mesh.active.all()  # the carve actually removed cells
+    return module, dobs
+
+
+@pytest.mark.parametrize("regularization", ["Smoothness", "TV"])
+def test_sharded_grid_regularizer_carved_matches_unsharded(
+        carved_problem, regularization):
+    """Sharded Smoothness/TV on a carved mesh: packed model scatters to the
+    dense (nz, ny, nx) grid, z-sharded over the 'model' axis with a GSPMD
+    halo exchange for the inter-layer differences (VERDICT r2 item 7)."""
+    module, dobs = carved_problem
+    M = module.n_active
+    wdiag = module.wdiag
+    apr = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    mesh = make_mesh(8)
+    pot_sh, _ = make_sharded_potential(
+        mesh, module.Aw, dobs, apr, low, high,
+        regularization=regularization, beta=0.001,
+        mshape=module.mshape, active=module.mesh.active,
+        dtype=jnp.float64)
+    pot_ref = module.make_potential(apr, low, high,
+                                    regularization=regularization,
+                                    beta=0.001, dtype=jnp.float64)
+    rng = np.random.RandomState(2)
+    xb = rng.uniform(0.2, 0.8, (4, M)) * wdiag[None, :]
+    u_sh, g_sh, aux_sh = pot_sh(xb, 0.5)
+    u_ref, g_ref, aux_ref = pot_ref(xb, 0.5)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(aux_sh[2]), np.asarray(aux_ref[2]),
+                               rtol=1e-10)  # the U_model term specifically
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_sharded_smoothness_full_grid_sharded_along_z(problem):
+    """Uncarved Smoothness: nz=4 tiles the 4-wide 'model' axis, so the grid
+    is annotated P('model', None, None) and the z-differences ride the
+    GSPMD-inserted halo exchange. Values must still match unsharded."""
+    module, dobs = problem
+    M = module.n_active
+    wdiag = module.wdiag
+    apr = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    mesh = make_mesh(8)
+    assert int(mesh.shape["model"]) == 4 and module.mshape[0] == 4
+    pot_sh, _ = make_sharded_potential(
+        mesh, module.Aw, dobs, apr, low, high,
+        regularization="Smoothness", mshape=module.mshape,
+        active=module.mesh.active, dtype=jnp.float64)
+    pot_ref = module.make_potential(apr, low, high,
+                                    regularization="Smoothness",
+                                    dtype=jnp.float64)
+    rng = np.random.RandomState(3)
+    xb = rng.uniform(0.2, 0.8, (4, M)) * wdiag[None, :]
+    u_sh, g_sh, _ = pot_sh(xb, 0.5)
+    u_ref, g_ref, _ = pot_ref(xb, 0.5)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_sharded_smoothness_chunk_samples(carved_problem):
+    """A full sharded HMC chunk under carved Smoothness executes and
+    accepts (the dryrun analogue for the grid-regularizer path)."""
+    module, dobs = carved_problem
+    M = module.n_active
+    wdiag = module.wdiag
+    apr = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    mesh = make_mesh(8)
+    nchains = 4
+    pot_sh, _ = make_sharded_potential(
+        mesh, module.Aw, dobs, apr, low, high,
+        regularization="Smoothness", mshape=module.mshape,
+        active=module.mesh.active, dtype=jnp.float32)
+    run_chunk, init_carry = make_sharded_chunk_sampler(
+        mesh, pot_sh, low=low, high=high, M=M, nchains=nchains,
+        nsamples=16, ndraws=0, wdiag_inv=module.wdiag_inv,
+        data_size=dobs.size, chunk_size=8, dtype=jnp.float32)
+    x0 = np.tile((wdiag * np.full(M, 0.001))[None, :], (nchains, 1))
+    carry = init_carry(x0)
+    carry, stats = run_chunk(carry, random.PRNGKey(0), 0, pot_sh.params)
+    assert (np.asarray(carry[5]) > 0).all()
+    assert np.isfinite(np.asarray(stats)).all()
+
+
 def test_sharded_chunk_runs_and_accepts(problem):
     module, dobs = problem
     M = module.n_active
