@@ -21,6 +21,7 @@ Field scalings match the reference exactly, including its Gs-vs-G quirk on
 """
 from __future__ import annotations
 
+import os
 import warnings
 
 import numpy as np
@@ -501,29 +502,40 @@ def subdivision_mask(lon, lat, height, cells, ratio, obs_block=None,
     D, M = lon_r.size, cells.shape[0]
     lont, latt, sinlatt, coslatt, rt, thr = _mask_cell_terms(cells, ratio)
 
+    if backend == "native":
+        # C++/OpenMP two-pass pair test (runtime/native/tessglq.cpp
+        # subdiv_mask_*): identical f64 math to the host path below, no
+        # (B, M) numpy temporaries, no device-link traffic. The device
+        # backend's index d2h alone cost ~130 s at whole-Earth scale on a
+        # tunnelled link; this pass is ~2 s on 2 cores.
+        from ..runtime import tessglq
+        return tessglq.subdivision_pairs(
+            lon_r, np.sin(lat_r), np.cos(lat_r), radius,
+            lont, sinlatt, coslatt, rt, thr)
+
     if backend == "device":
         import jax
         import jax.numpy as jnp
 
         obs_block = min(obs_block or 1024, D)
         f32 = jnp.float32
-        c_lont = jnp.asarray(lont, f32)
-        c_latt = jnp.asarray(latt, f32)
-        c_coslatt = jnp.asarray(coslatt, f32)
-        c_ht = jnp.asarray(rt - MEAN_EARTH_RADIUS, f32)
-        c_rt = jnp.asarray(rt, f32)
-        c_thr = jnp.asarray(thr, f32)
-        o_lon = jnp.asarray(lon_r, f32)
-        o_lat = jnp.asarray(lat_r, f32)
-        o_cos = jnp.asarray(np.cos(lat_r), f32)
-        o_h = jnp.asarray(radius - MEAN_EARTH_RADIUS, f32)
-        o_r = jnp.asarray(radius, f32)
+        # cell/obs geometry travels as jit ARGUMENTS: closure constants
+        # would be baked into the HLO, making every geometry a fresh
+        # remote AOT compile (the round-2 device build spent ~99% of its
+        # time recompiling constant-baked blocks over the tunnel)
+        cell_geom = tuple(jnp.asarray(a, f32) for a in
+                          (lont, latt, coslatt, rt - MEAN_EARTH_RADIUS, rt,
+                           thr))
+        obs_all = tuple(jnp.asarray(a, f32) for a in
+                        (lon_r, lat_r, np.cos(lat_r),
+                         radius - MEAN_EARTH_RADIUS, radius))
 
         @jax.jit
-        def block_mask(sl):
+        def block_mask(sl, obs, cgeom):
+            c_lont, c_latt, c_coslatt, c_ht, c_rt, c_thr = cgeom
             lo, la, cl, hr, ra = (jax.lax.dynamic_slice_in_dim(a, sl,
                                                                obs_block)
-                                  for a in (o_lon, o_lat, o_cos, o_h, o_r))
+                                  for a in obs)
             # stable d^2 = (dh)^2 + 4 r rt hav(psi)
             hav = (jnp.sin(0.5 * (la[:, None] - c_latt)) ** 2
                    + cl[:, None] * c_coslatt
@@ -536,7 +548,7 @@ def subdivision_mask(lon, lat, height, cells, ratio, obs_block=None,
         oi_parts, ci_parts = [], []
         for s0 in range(0, D, obs_block):
             base = min(s0, max(D - obs_block, 0))  # last block backs up
-            mask_flat, cnt = block_mask(base)
+            mask_flat, cnt = block_mask(base, obs_all, cell_geom)
             n = int(cnt)  # scalar d2h
             if n == 0:
                 continue
@@ -630,6 +642,8 @@ def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
     scaling folded in on device (sensitivity weighting). Returns a jax
     array in output units (field scaling applied).
     """
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
@@ -643,6 +657,15 @@ def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
     height = np.asarray(height, np.float64).ravel()
     D, M = lon.size, cells.shape[0]
     kname = "potential" if field == "geoid" else field
+    timing = bool(int(os.environ.get("GRAVINV_BUILD_TIMING", "0") or 0))
+    t_mark = _time.time()
+
+    def _stage(msg):
+        nonlocal t_mark
+        if timing:
+            now = _time.time()
+            print(f"[kernel_device +{now - t_mark:.2f}s] {msg}", flush=True)
+            t_mark = now
 
     # --- far field: depth-0 GLQ on device -----------------------------
     lonc, sinlatc, coslatc, rc, scale = _glq_nodes(cells, np)
@@ -651,11 +674,9 @@ def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
         scale_all = scale_all * np.asarray(winv, np.float64)
     # geometry h2d: 5 (M, 2)/(M,) f32 arrays + 4 (D,) obs arrays (~3 MB
     # at global scale)
-    lonc_d = jnp.asarray(lonc, dtype)
-    sinlatc_d = jnp.asarray(sinlatc, dtype)
-    coslatc_d = jnp.asarray(coslatc, dtype)
-    rc_d = jnp.asarray(rc, dtype)
-    scale_d = jnp.asarray(scale_all, dtype)
+    cell_geom = (jnp.asarray(lonc, dtype), jnp.asarray(sinlatc, dtype),
+                 jnp.asarray(coslatc, dtype), jnp.asarray(rc, dtype),
+                 jnp.asarray(scale_all, dtype))
     lon_r = np.radians(lon)
     lat_r = np.radians(lat)
     obs_d = (jnp.asarray(lon_r, dtype), jnp.asarray(np.sin(lat_r), dtype),
@@ -666,24 +687,48 @@ def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
     # ~1e-4 per-entry relative accuracy in f32 at Earth-radius magnitudes
     kfn = _make_kernels(jnp, pair_terms=_pair_terms_stable)[kname]
 
-    def one_obs(lo, sl, cl, ra):
-        full = lambda v: jnp.full((M,), v, dtype)
-        return scale_d * kfn(full(lo), full(sl), full(cl), full(ra),
-                             lonc_d, sinlatc_d, coslatc_d, rc_d)
+    # geometry enters as jit ARGUMENTS (baking it in as closure constants
+    # makes every geometry — even every --scale — a fresh remote AOT
+    # compile: the round-2 build spent ~500 s in recompiles for ~1 s of
+    # device compute), and every block reuses ONE compiled shape (the
+    # last block backs up and the overlap is sliced off)
+    def _block(obs, cgeom):
+        lonc_d, sinlatc_d, coslatc_d, rc_d, scale_d = cgeom
 
-    block_fn = jax.jit(jax.vmap(one_obs))
-    rows = []
-    for s0 in range(0, D, obs_block):
-        s1 = min(s0 + obs_block, D)
-        rows.append(block_fn(*(o[s0:s1] for o in obs_d)))
-    kernel = jnp.concatenate(rows, axis=0)
+        def one_obs(lo, sl, cl, ra):
+            full = lambda v: jnp.full((M,), v, dtype)
+            return scale_d * kfn(full(lo), full(sl), full(cl), full(ra),
+                                 lonc_d, sinlatc_d, coslatc_d, rc_d)
+
+        return jax.vmap(one_obs)(*obs)
+
+    block_fn = jax.jit(_block)
+    obs_block = min(obs_block, D)
+    rows, s0 = [], 0
+    while s0 < D:
+        base = min(s0, D - obs_block)
+        blk = block_fn(tuple(o[base:base + obs_block] for o in obs_d),
+                       cell_geom)
+        rows.append(blk[s0 - base:])
+        s0 = base + obs_block
+    kernel = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    kernel.block_until_ready()
+    _stage(f"far-field depth-0 GLQ ({(D + obs_block - 1)//obs_block} "
+           f"blocks of {obs_block})")
 
     # --- near field: exact host-engine values scattered in ------------
-    # the pair test itself runs on device when the pair count is large
-    # (the host broadcast would read ~0.5e9 f64 at whole-Earth scale)
-    mask_backend = "device" if D * M > 20_000_000 else "host"
-    oi, ci = subdivision_mask(lon, lat, height, cells, ratio,
-                              backend=mask_backend)
+    # native C++ pair test first (no temporaries, no link traffic); the
+    # device test only as fallback for large problems (its index d2h is
+    # expensive over a tunnelled link), host numpy for small ones
+    try:
+        oi, ci = subdivision_mask(lon, lat, height, cells, ratio,
+                                  backend="native")
+        mask_backend = "native"
+    except Exception:  # noqa: BLE001 — native toolchain unavailable
+        mask_backend = "device" if D * M > 20_000_000 else "host"
+        oi, ci = subdivision_mask(lon, lat, height, cells, ratio,
+                                  backend=mask_backend)
+    _stage(f"subdivision mask [{mask_backend}] ({oi.size} pairs)")
     if oi.size:
         if host_kernel is not None:
             vals = np.asarray(host_kernel)[oi, ci].astype(np.float64)
@@ -693,13 +738,26 @@ def tesseroid_kernel_device(field, lon, lat, height, mesh_or_cells, *,
         if winv is not None:
             corr_scale = np.asarray(winv, np.float64)[ci]
             vals = vals * corr_scale
+        _stage("near-field pair values (native engine)")
         # corrections travel as jit ARGUMENTS: the eager device_put path
         # stalls on bulk copies over tunnelled links, the argument-upload
-        # path sustains tens of MB/s
+        # path sustains tens of MB/s. Pad the pair list to a power-of-two
+        # size (duplicating pair 0 with its own value — duplicate .set of
+        # identical values is order-independent) so the scatter compiles
+        # for O(log) distinct shapes, not one per geometry.
+        n = int(oi.size)
+        size = 1 << max(int(np.ceil(np.log2(n))), 10)
+        o_p = np.full(size, oi[0], np.int32)
+        c_p = np.full(size, ci[0], np.int32)
+        v_p = np.full(size, vals[0],
+                      np.dtype(jnp.dtype(dtype).name))
+        o_p[:n], c_p[:n] = oi, ci
+        v_p[:n] = vals.astype(v_p.dtype)
         scatter = jax.jit(
             lambda K, o, c, v: K.at[o, c].set(v), donate_argnums=(0,))
-        kernel = scatter(kernel, oi.astype(np.int32), ci.astype(np.int32),
-                         vals.astype(np.dtype(jnp.dtype(dtype).name)))
+        kernel = scatter(kernel, o_p, c_p, v_p)
+        kernel.block_until_ready()
+        _stage(f"scatter corrections (padded {n} -> {size})")
     return kernel, (oi, ci)
 
 

@@ -242,9 +242,86 @@ void kernel_pairs(const double *lon_deg, const double *lat_deg,
     }
 }
 
+// ---------------------------------------------------------------------
+// subdivision mask: which (obs, cell) ROOT pairs would the adaptive
+// engine split (distance <= ratio * size on any axis)? Two-pass: count
+// per observation, then fill at prefix-sum offsets — no synchronisation.
+// The per-cell terms (lont, sinlatt, coslatt, rt, thr=max (ratio*L)^2)
+// are precomputed by the caller (ops/tesseroid.py _mask_cell_terms) so
+// this test matches the python host path bit-for-bit in f64.
+void subdiv_mask_count(const double *lon_r, const double *sinlat,
+                       const double *coslat, const double *radius,
+                       int64_t n_obs, const double *lont,
+                       const double *sinlatt, const double *coslatt,
+                       const double *rt, const double *thr, int64_t n_cells,
+                       int64_t *counts) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
+    for (int64_t l = 0; l < n_obs; ++l) {
+        const double lo = lon_r[l], sl = sinlat[l], cl = coslat[l];
+        const double r = radius[l], r2 = r * r;
+        int64_t cnt = 0;
+        for (int64_t m = 0; m < n_cells; ++m) {
+            const double cospsi =
+                sl * sinlatt[m] + cl * coslatt[m] * cos(lo - lont[m]);
+            const double d2 = r2 + rt[m] * rt[m] - 2.0 * r * rt[m] * cospsi;
+            cnt += (d2 <= thr[m]);
+        }
+        counts[l] = cnt;
+    }
+}
+
+void subdiv_mask_fill(const double *lon_r, const double *sinlat,
+                      const double *coslat, const double *radius,
+                      int64_t n_obs, const double *lont,
+                      const double *sinlatt, const double *coslatt,
+                      const double *rt, const double *thr, int64_t n_cells,
+                      const int64_t *offsets, int32_t *oi, int32_t *ci) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
+    for (int64_t l = 0; l < n_obs; ++l) {
+        const double lo = lon_r[l], sl = sinlat[l], cl = coslat[l];
+        const double r = radius[l], r2 = r * r;
+        int64_t k = offsets[l];
+        for (int64_t m = 0; m < n_cells; ++m) {
+            const double cospsi =
+                sl * sinlatt[m] + cl * coslatt[m] * cos(lo - lont[m]);
+            const double d2 = r2 + rt[m] * rt[m] - 2.0 * r * rt[m] * cospsi;
+            if (d2 <= thr[m]) {
+                oi[k] = static_cast<int32_t>(l);
+                ci[k] = static_cast<int32_t>(m);
+                ++k;
+            }
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+void tessglq_subdiv_count(const double *lon_r, const double *sinlat,
+                          const double *coslat, const double *radius,
+                          int64_t n_obs, const double *lont,
+                          const double *sinlatt, const double *coslatt,
+                          const double *rt, const double *thr,
+                          int64_t n_cells, int64_t *counts) {
+    subdiv_mask_count(lon_r, sinlat, coslat, radius, n_obs, lont, sinlatt,
+                      coslatt, rt, thr, n_cells, counts);
+}
+
+void tessglq_subdiv_fill(const double *lon_r, const double *sinlat,
+                         const double *coslat, const double *radius,
+                         int64_t n_obs, const double *lont,
+                         const double *sinlatt, const double *coslatt,
+                         const double *rt, const double *thr,
+                         int64_t n_cells, const int64_t *offsets,
+                         int32_t *oi, int32_t *ci) {
+    subdiv_mask_fill(lon_r, sinlat, coslat, radius, n_obs, lont, sinlatt,
+                     coslatt, rt, thr, n_cells, offsets, oi, ci);
+}
 
 void tessglq_kernel_pairs(int field, const double *lon, const double *lat,
                           const double *height, const int64_t *oi,

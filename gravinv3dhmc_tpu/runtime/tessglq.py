@@ -47,6 +47,17 @@ def get_lib():
             dptr, ctypes.c_double, dptr]
         lib.tessglq_num_threads.restype = ctypes.c_int
         lib.tessglq_num_threads.argtypes = []
+        i64ptr = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32ptr = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.tessglq_subdiv_count.restype = None
+        lib.tessglq_subdiv_count.argtypes = [
+            dptr, dptr, dptr, dptr, ctypes.c_int64,
+            dptr, dptr, dptr, dptr, dptr, ctypes.c_int64, i64ptr]
+        lib.tessglq_subdiv_fill.restype = None
+        lib.tessglq_subdiv_fill.argtypes = [
+            dptr, dptr, dptr, dptr, ctypes.c_int64,
+            dptr, dptr, dptr, dptr, dptr, ctypes.c_int64, i64ptr,
+            i32ptr, i32ptr]
         _lib = lib
         return _lib
 
@@ -80,3 +91,26 @@ def kernel_pairs(field, lon, lat, height, oi, ci, cells, ratio):
     lib.tessglq_kernel_pairs(FIELD_IDS[field], lon, lat, height, oi, ci,
                              oi.size, cells, float(ratio), out)
     return out
+
+
+def subdivision_pairs(lon_r, sinlat, coslat, radius, lont, sinlatt,
+                      coslatt, rt, thr):
+    """(oi, ci) near-field pairs via the native two-pass mask: the f64
+    pair test of ops/tesseroid.subdivision_mask's host path, OpenMP over
+    observations, with no D x M temporaries and no device link traffic."""
+    lib = get_lib()
+    obs = [np.ascontiguousarray(a, np.float64)
+           for a in (lon_r, sinlat, coslat, radius)]
+    cell = [np.ascontiguousarray(a, np.float64)
+            for a in (lont, sinlatt, coslatt, rt, thr)]
+    D = obs[0].size
+    M = cell[0].size
+    counts = np.empty(D, dtype=np.int64)
+    lib.tessglq_subdiv_count(*obs, D, *cell, M, counts)
+    offsets = np.zeros(D, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    total = int(counts.sum())
+    oi = np.empty(total, dtype=np.int32)
+    ci = np.empty(total, dtype=np.int32)
+    lib.tessglq_subdiv_fill(*obs, D, *cell, M, offsets, oi, ci)
+    return oi, ci

@@ -261,6 +261,15 @@ def test_subdivision_mask_backends_and_pair_engines_agree():
                                        backend="device")
     assert set(zip(oi.tolist(), ci.tolist())) == set(
         zip(oi_d.tolist(), ci_d.tolist()))
+    # the native C++ two-pass mask must match the host f64 test EXACTLY
+    # (same math, same ordering — obs-major); skip if no toolchain
+    try:
+        oi_n, ci_n = tess.subdivision_mask(lons, lats, h, cells, 1.6,
+                                           backend="native")
+    except Exception:
+        oi_n = None
+    if oi_n is not None:
+        assert np.array_equal(oi, oi_n) and np.array_equal(ci, ci_n)
     want = kh[oi, ci]
     scale = np.abs(kh).max()
     # bulk pair values (native engine if the toolchain built, else the
