@@ -35,6 +35,148 @@ from gravinv3dhmc_tpu.inversion.potential import GravMagModule
 from gravinv3dhmc_tpu.ops import prism
 
 BASELINE_GRAD_EVALS_PER_S = 440.0  # 2 chains x ~220/s (BASELINE.md)
+# realdata T1: 1000 samples in ~161 s sampling x 2 MPI chains
+# (reference: example/realdata/logout_T1.txt; BASELINE.md derived table)
+BASELINE_REALDATA_SAMPLES_PER_S = 2 * 1000 / 161.0
+BASELINE_REALDATA_GRAD_EVALS_PER_S = 300.0  # 2 chains x ~150/s
+
+REFERENCE_REALDATA = "/root/reference/example/realdata/data"
+
+
+def build_realdata_problem(verbose=False):
+    """The reference's full-feature South China case: spherical tesseroids
+    + segmented depth spacing + topography carve + frozen water cells
+    (reference: example/realdata/main_real.py:21-75). Loads the published
+    observation files when the reference tree is present, otherwise
+    synthesises the same geometry."""
+    mrange = (106.5, 118.5, 16, 28, 2000, -60000)
+    division = [2000, -5000, -15000, -60000]
+    spacing = ([-1000, -2000, -5000], 0.5, 0.5)
+    if os.path.isdir(REFERENCE_REALDATA):
+        lons, lats, heights, dobs = np.loadtxt(
+            os.path.join(REFERENCE_REALDATA, "gravinv_12d05d.dat"),
+            usecols=[0, 1, 2, 3], unpack=True)
+        grav_sea = np.loadtxt(
+            os.path.join(REFERENCE_REALDATA, "grasea_12d05d.dat"),
+            usecols=[2], unpack=True)
+        lons_t, lats_t, topo = np.loadtxt(
+            os.path.join(REFERENCE_REALDATA, "topo_12d05d.dat"),
+            usecols=[0, 1, 2], unpack=True)
+    else:
+        lons, lats = np.meshgrid(np.arange(106.75, 118.5, 0.5),
+                                 np.arange(16.25, 28.0, 0.5))
+        lons, lats = lons.ravel(), lats.ravel()
+        heights = np.full(lons.size, 0.0)
+        rng = np.random.RandomState(0)
+        dobs = rng.normal(0, 20, lons.size)
+        grav_sea = np.zeros(lons.size)
+        lons_t, lats_t, topo = lons, lats, rng.uniform(-2000, 2000,
+                                                       lons.size)
+    module = GravMagModule(
+        dobs, mrange, spacing, (lons, lats, heights), fixed=True,
+        grav_fix=grav_sea, mseg=True, mdivisionsection=division,
+        coordinate="spherical", field="gravity", verbose=verbose,
+        mtopo=(lons_t, lats_t, topo))
+    return module, np.asarray(dobs, np.float64)
+
+
+def realdata_stage(stage):
+    """North-star workload measurement (BASELINE.json: >=10x multi-chain
+    samples/s on the realdata model). Returns a result dict; never raises
+    (the primary bench line must land regardless)."""
+    nchains = int(os.environ.get("BENCH_REALDATA_NCHAINS", "256"))
+    chunk_size = int(os.environ.get("BENCH_REALDATA_CHUNK", "64"))
+    n_timed = int(os.environ.get("BENCH_REALDATA_CHUNKS", "2"))
+    t_build = time.time()
+    module, dobs = build_realdata_problem()
+    build_s = time.time() - t_build
+    stage(f"realdata problem built ({build_s:.1f}s, "
+          f"{dobs.size}x{module.n_active})")
+    M = module.n_active
+    wdiag = module.wdiag
+    # reference run config: Damping, L in [5, 40], frozen water cells
+    # (example/realdata/main_real.py:43; logout_T1.txt header)
+    initial = wdiag * np.full(M, 0.01)
+    aprior = wdiag * np.full(M, 0.001)
+    low = wdiag * np.full(M, -0.5)
+    high = wdiag * np.full(M, 0.5)
+    potential_fn = module.make_potential(
+        aprior, low, high, constraint="mandatory",
+        regularization="Damping", dtype=jnp.float32)
+    fused_traj = None
+    fused_mode = "off"
+    if os.environ.get("BENCH_FUSED", "1") != "0":
+        from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
+            make_fused_trajectory,
+        )
+        fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
+                 np.asarray(module.grav_fix), aprior,
+                 wdiag * wdiag, low, high)
+        for tile_c in (64, 32):
+            try:
+                fused_traj = make_fused_trajectory(
+                    *fargs, regularization="Damping", tile_c=tile_c)
+                # TWO tiles: grid>1 turns on block double-buffering, which
+                # costs extra scoped VMEM a 1-tile probe never exercises
+                probe = jnp.zeros((2 * tile_c, M), jnp.float32)
+                out = fused_traj(probe, probe, jnp.int32(3),
+                                 jnp.float32(0.005), jnp.float32(0.05))
+                jax.block_until_ready(out[0])
+                fused_mode = f"trajectory(tile_c={tile_c})"
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"WARNING: realdata fused trajectory "
+                      f"(tile_c={tile_c}) unavailable: "
+                      f"{type(e).__name__}: {str(e)[:160]}",
+                      file=sys.stderr, flush=True)
+                fused_traj = None
+    stage(f"realdata potential ready (fused={fused_mode})")
+    nsamples = 64
+    run_chunk = hmc.make_chunk_sampler(
+        potential_fn, dt=0.005, Lmin=5, Lmax=40, Sigma=0.001, low=low,
+        high=high, constraint="mandatory", alpha=0.05,
+        chunk_size=chunk_size, nsamples=nsamples, ndraws=0,
+        wdiag_inv=module.wdiag_inv, data_size=dobs.size,
+        dtype=jnp.float32, shared_L=True, fused_trajectory=fused_traj)
+    wdiag_d = jnp.asarray(wdiag, jnp.float32)
+    x = jnp.broadcast_to(0.01 * wdiag_d, (nchains, M)).astype(jnp.float32)
+    U, g, (_, u_data, u_model) = potential_fn(x, 0.05)
+    carry = (x, U, g, u_data, u_model,
+             jnp.zeros(nchains, jnp.int32),
+             jnp.zeros((nchains, nsamples, M), jnp.float32),
+             jnp.zeros((nchains, nsamples, 7), jnp.float32))
+    base_key = random.PRNGKey(0)
+    carry, stats = run_chunk(carry, base_key, 0, potential_fn.params)
+    jax.block_until_ready(carry[0])
+    stage("realdata warmup chunk compiled + ran")
+    t0 = time.time()
+    ge_acc = jnp.zeros((), jnp.float32)
+    ac_acc = jnp.zeros((), jnp.float32)
+    iters = 0
+    for i in range(1, n_timed + 1):
+        carry, stats = run_chunk(carry, base_key, i, potential_fn.params)
+        ge_acc = ge_acc + jnp.sum(stats[..., 4])
+        ac_acc = ac_acc + jnp.sum(stats[..., 0])
+        iters += stats.shape[0]
+    jax.block_until_ready(ge_acc)
+    elapsed = time.time() - t0
+    grad_evals = float(ge_acc)  # scalar d2h
+    accepts = float(ac_acc)
+    stage(f"realdata timed chunks done ({elapsed:.1f}s)")
+    samples_per_s = accepts / elapsed
+    return {
+        "problem": [int(dobs.size), int(M)],
+        "kernel_build_s": round(build_s, 2),
+        "nchains": nchains,
+        "fused_pallas_step": fused_mode,
+        "grad_evals_per_s": round(grad_evals / elapsed, 1),
+        "samples_per_s": round(samples_per_s, 1),
+        "accept_ratio": round(accepts / max(iters * nchains, 1), 4),
+        "vs_baseline_samples_per_s": round(
+            samples_per_s / BASELINE_REALDATA_SAMPLES_PER_S, 1),
+        "vs_baseline_grad_evals": round(
+            grad_evals / elapsed / BASELINE_REALDATA_GRAD_EVALS_PER_S, 1),
+    }
 
 
 def build_problem():
@@ -106,7 +248,7 @@ def main():
             try:
                 fused_traj = make_fused_trajectory(*fargs, tile_c=tile_c,
                                                    **fkw)
-                probe_x = jnp.zeros((tile_c, M), jnp.float32)
+                probe_x = jnp.zeros((2 * tile_c, M), jnp.float32)
                 out = fused_traj(probe_x, probe_x, jnp.int32(3),
                                  jnp.float32(0.01), jnp.float32(1.0))
                 jax.block_until_ready(out[0])
@@ -247,6 +389,16 @@ def main():
             "ess_median_total": result_box.get("ess"),
         },
     }
+    # north-star workload (BASELINE.json: realdata multi-chain samples/s)
+    # as a nested stage of the same single JSON line
+    if os.environ.get("BENCH_REALDATA", "1") != "0":
+        try:
+            result["detail"]["realdata"] = realdata_stage(stage)
+        except Exception as e:  # noqa: BLE001 — primary line must land
+            import traceback
+            traceback.print_exc()
+            result["detail"]["realdata"] = {
+                "error": f"{type(e).__name__}: {str(e)[:200]}"}
     print(json.dumps(result))
 
 

@@ -145,7 +145,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             L = jnp.full((C,), L_scalar)
             (x_new, p_new, g_new, U_new, ud_new,
              um_new) = fused_trajectory(x, p, L_scalar, dt, alpha_c,
-                                        params=fprm)
+                                        params=fprm, inv_mass=inv_mass)
         elif fused_step is not None:
             # fully-fused Pallas trajectory (ops/leapfrog_pallas.py):
             # shared L, 'mandatory' boundary, identity metric. The carried
@@ -161,7 +161,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             def fused_body(i, s):
                 xx, pp, _, _, UU, ud_c, um_c = s
                 x2, p2, U2, ud2, um2 = fused_step(xx, pp, dt, alpha_c,
-                                                  params=fprm)
+                                                  params=fprm,
+                                                  inv_mass=inv_mass)
                 return (x2, p2, xx, pp, U2, ud2, um2)
 
             (x_new, p_full, x_prev, p_prev, U_new, ud_new,
@@ -171,7 +172,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             # pre-kick momentum of the last step (replay its boundary
             # negation), then the trailing half kick: p_eff - dt/2 * g
             # with g = (p_eff - p_full)/dt  =>  (p_eff + p_full)/2
-            x_pre = x_prev + dt * p_prev
+            x_pre = x_prev + dt * (p_prev if inv_mass is None
+                                   else inv_mass * p_prev)
             hit = (x_pre > high) | (x_pre < low)
             p_eff = jnp.where(hit, -p_prev, p_prev)
             g_new = (p_eff - p_full) / dt
@@ -330,10 +332,9 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
 
     def run_chunk(carry, base_key, chunk_idx, params, dt=dt_default,
                   inv_mass=None):
-        if inv_mass is not None and (fused_step is not None
-                                     or fused_trajectory is not None):
-            raise ValueError("the fused Pallas trajectory uses the "
-                             "identity metric; inv_mass unsupported")
+        # the fused kernels take the diagonal inverse mass as a resident
+        # (1, Mp) vector — identity and adapted metrics both stay on the
+        # fused path (the first inv_mass!=None call compiles once more)
         return _run_chunk_impl(carry, base_key, chunk_idx, params,
                                fused_prm, dt, inv_mass)
 
@@ -386,11 +387,13 @@ class HamiltonianMC:
         #: per-chain marginal kernel. False reproduces the reference's
         #: independent per-chain draws exactly.
         self.shared_L = False
-        #: use the fused Pallas leapfrog step (ops/leapfrog_pallas.py) when
-        #: the configuration supports it (mandatory boundary, MS/Damping,
-        #: dense kernel). The step is compile-probed on the attached device
-        #: first and silently falls back to the XLA path on any Mosaic
-        #: rejection, so enabling this is always safe.
+        #: use the fused Pallas kernels (ops/leapfrog_pallas.py) when the
+        #: configuration supports it (mandatory boundary, MS/Damping,
+        #: dense kernel) — whole-trajectory kernel preferred, per-step as
+        #: fallback. Compile-probed on the attached device first, falling
+        #: back to the XLA path on any Mosaic rejection, so enabling this
+        #: is always safe. Compatible with ``adapt_mass`` (the diagonal
+        #: inverse mass rides in the kernels as a resident vector).
         self.use_fused = False
         #: transfer the posterior sample buffers to host at the end of
         #: sample(). Set False on a high-latency/tunnelled device link:
@@ -419,39 +422,62 @@ class HamiltonianMC:
             return [PySampleSink(f) for f in folders]
 
     def _build_fused(self, nsamples):
-        """Compile-probe the fused Pallas leapfrog on the attached device;
-        return the step or None (-> XLA path) if the configuration or the
-        backend does not support it."""
+        """Compile-probe the fused Pallas kernels on the attached device;
+        returns ``(fused_step, fused_trajectory)`` with at most one
+        non-None (trajectory preferred — chain state stays VMEM-resident
+        across all L steps), or ``(None, None)`` -> XLA path. Both kernels
+        take the diagonal inverse mass as a resident vector, so
+        ``adapt_mass=True`` keeps the fused path (round-2 silently fell
+        back to XLA)."""
         if (self.constraint != "mandatory"
                 or self.regularization not in ("MS", "Damping")
                 or self.nchains % 32 != 0       # kernel tiles chains by 32
-                or self.adapt_mass              # fused uses identity metric
                 or getattr(self.model, "Aw", None) is None  # device-built
                 or (getattr(self.model, "Awcp", None) is not None
                     and self.model.wavelet)):
-            return None
+            return None, None
+        from ..ops.leapfrog_pallas import (
+            make_fused_step,
+            make_fused_trajectory,
+        )
+        gfix = (np.asarray(self.model.grav_fix)
+                if getattr(self.model, "fixed", False) else None)
+        fargs = (np.asarray(self.model.Aw),
+                 np.asarray(self.dobs) - np.mean(self.dobs), gfix,
+                 self.aprior_model, self.model.wdiag * self.model.wdiag,
+                 self.low, self.high)
+        fkw = dict(regularization=self.regularization, beta=self.beta)
+        M = self.initial_model.shape[0]
+        for tile_c in (128, 64, 32):
+            if self.nchains % tile_c != 0:
+                continue
+            try:
+                traj = make_fused_trajectory(*fargs, tile_c=tile_c, **fkw)
+                # two tiles: grid>1 exercises the block double-buffering
+                # VMEM cost a single-tile probe misses
+                probe = jnp.zeros((2 * tile_c, M), self.dtype)
+                out = traj(probe, probe, jnp.int32(3),
+                           jnp.asarray(self.dt, self.dtype),
+                           jnp.asarray(self.RegulFactor, self.dtype))
+                jax.block_until_ready(out[0])
+                return None, traj
+            except Exception as e:  # noqa: BLE001 — try the next tile
+                if self.verbose:
+                    print(f"fused Pallas trajectory (tile_c={tile_c}) "
+                          f"unavailable ({type(e).__name__})", flush=True)
         try:
-            from ..ops.leapfrog_pallas import make_fused_step
-            gfix = (np.asarray(self.model.grav_fix)
-                    if getattr(self.model, "fixed", False) else None)
-            fused = make_fused_step(
-                np.asarray(self.model.Aw),
-                np.asarray(self.dobs) - np.mean(self.dobs), gfix,
-                self.aprior_model, self.model.wdiag * self.model.wdiag,
-                self.low, self.high, regularization=self.regularization,
-                beta=self.beta)
-            M = self.initial_model.shape[0]
+            fused = make_fused_step(*fargs, **fkw)
             probe = jnp.zeros((32, M), self.dtype)
             out = fused(probe, probe, jnp.asarray(self.dt, self.dtype),
                         jnp.asarray(self.RegulFactor, self.dtype))
             jax.block_until_ready(out[0])
-            return fused
+            return fused, None
         except Exception as e:  # noqa: BLE001 — fall back on any rejection
             if self.verbose:
                 print(f"fused Pallas step unavailable "
                       f"({type(e).__name__}); using the XLA path",
                       flush=True)
-            return None
+            return None, None
 
     def sample(self, nsamples, ndraws, max_chunks=None, callback=None,
                checkpoint_path=None, checkpoint_every=20, resume=True):
@@ -489,7 +515,8 @@ class HamiltonianMC:
                 "Please choose right boundary constraint(mandatory, "
                 "logarithmic)!")
 
-        fused = self._build_fused(nsamples) if self.use_fused else None
+        fused, fused_traj = (self._build_fused(nsamples)
+                             if self.use_fused else (None, None))
         run_chunk = make_chunk_sampler(
             potential_fn, dt=self.dt, Lmin=self.Lrange[0],
             Lmax=self.Lrange[1], Sigma=self.Sigma, low=self.low,
@@ -498,7 +525,9 @@ class HamiltonianMC:
             nsamples=nsamples, ndraws=ndraws,
             wdiag_inv=self.model.wdiag_inv, data_size=self.dobs.shape[0],
             log_factor=self.log_factor, dtype=dtype,
-            shared_L=self.shared_L or fused is not None, fused_step=fused,
+            shared_L=(self.shared_L or fused is not None
+                      or fused_traj is not None),
+            fused_step=fused, fused_trajectory=fused_traj,
             welford=self.adapt_mass)
 
         x = jnp.asarray(x0, dtype)
@@ -851,7 +880,10 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
     chain.transfer_samples = transfer_samples
 
     boundaries = np.asarray(boundaries, dtype=np.float64)
-    wdiag = np.asarray(model.wdiag)
+    # device-resident weighting (kernel_device path) scales on device —
+    # np.asarray here would be a stalling d2h over a tunnelled link
+    wdiag = (model.wdiag if isinstance(model.wdiag, jax.Array)
+             else np.asarray(model.wdiag))
     # m-domain -> mw-domain (reference: inversion/hmc.py:393-401)
     chain.low = wdiag * boundaries[:, 0]
     chain.high = wdiag * boundaries[:, 1]

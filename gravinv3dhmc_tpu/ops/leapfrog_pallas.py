@@ -44,8 +44,8 @@ def _round_up(x, m):
 
 def _step_kernel(scal_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref, fix_ref,
                  dmask_ref, aprior_ref, wmsq_ref, low_ref, high_ref,
-                 x_out, p_out, U_out, ud_out, um_out, *, regularization,
-                 beta, n_obs, matvec_dtype):
+                 im_ref, x_out, p_out, U_out, ud_out, um_out, *,
+                 regularization, beta, n_obs, matvec_dtype):
     eps = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
     x = x_ref[:]
@@ -53,8 +53,9 @@ def _step_kernel(scal_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref, fix_ref,
     low = low_ref[:]
     high = high_ref[:]
 
-    # drift + 'mandatory' boundary (clamp, negate momentum component)
-    x = x + eps * p
+    # drift + 'mandatory' boundary (clamp, negate momentum component);
+    # im is the diagonal inverse mass (ones = identity metric)
+    x = x + eps * (im_ref[:] * p)
     over = x > high
     under = x < low
     x = jnp.clip(x, low, high)
@@ -101,9 +102,9 @@ def _step_kernel(scal_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref, fix_ref,
 
 
 def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
-                 fix_ref, dmask_ref, aprior_ref, wmsq_ref, low_ref, high_ref,
-                 x_out, p_out, g_out, U_out, ud_out, um_out, *,
-                 regularization, beta, n_obs, matvec_dtype):
+                 dmask_ref, aprior_ref, wmsq_ref, low_ref, high_ref,
+                 im_ref, x_out, p_out, g_out, U_out, ud_out, um_out, *,
+                 regularization, beta, matvec_dtype):
     """The WHOLE leapfrog trajectory in one kernel invocation.
 
     The chain-state tile (x, p) stays VMEM-resident across all L steps:
@@ -119,35 +120,42 @@ def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
     high = high_ref[:]
     A = A_ref[:]
     At = At_ref[:]
-    dobs = dobs_ref[:]
-    fix = fix_ref[:]
+    dobs = dobs_ref[:]   # dobs_centered - fix_centered, premerged on host
     dmask = dmask_ref[:]
     aprior = aprior_ref[:]
     wmsq = wmsq_ref[:]
-    # loop-invariant regularizer scale hoisted out of the VPU-bound body
+    im = im_ref[:]  # diagonal inverse mass (ones = identity metric)
+    # loop-invariant scales hoisted out of the VPU-bound body:
+    # the kick folds g = 2 gdata + alpha gm directly into p via two FMAs
+    # (p -= 2 eps gdata; p -= eps alpha gm) — g itself is never formed in
+    # the loop and is recovered after it as (p_prekick - p)/eps
     gm_scale = wmsq * (2.0 * beta)
+    s_data = 2.0 * eps
+    s_mod = eps * alpha * (2.0 if regularization != "MS" else 1.0)
 
     # The body is deliberately lean on VPU work: the misfit VALUES
     # (ud, um, U) are not reduced per step — only the final state's are
     # needed, so the small masked residual r is carried and the sums run
-    # once after the loop. MS uses a single reciprocal (inv) instead of
-    # two divides; the boundary test is clip + compare instead of two
-    # comparisons + clip (reference semantics unchanged: negate exactly
-    # where the clamp moved the coordinate, inversion/hmc.py:135-141).
+    # once after the loop. The mean-removal projector is folded into the
+    # resident matrices on host (A_c = (I - 11^T/D) A; exact because the
+    # masked residual is centered, so A_c^T r == A^T r), which removes
+    # the per-step mean reduce + subtract. MS uses a single reciprocal
+    # (inv) instead of two divides; the boundary test is clip + compare
+    # (reference semantics unchanged: negate exactly where the clamp
+    # moved the coordinate, inversion/hmc.py:135-141).
     def body(_, s):
-        x, p, g, r = s
-        x = x + eps * p
+        x, p, pk, r = s
+        x = x + eps * (im * p)
         xc = jnp.clip(x, low, high)
         hit = x != xc
         x = xc
         p = jnp.where(hit, -p, p)
+        pk = p  # momentum before this step's kick (for g recovery)
         d = jax.lax.dot_general(
             x.astype(matvec_dtype), At,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        d = d + fix
-        mean = jnp.sum(d, axis=1, keepdims=True) * (1.0 / n_obs)
-        r = ((d - mean) - dobs) * dmask
+        r = (d - dobs) * dmask
         gdata = jax.lax.dot_general(
             r.astype(matvec_dtype), A,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -157,14 +165,15 @@ def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
             inv = 1.0 / (dm * dm + beta)
             gm = gm_scale * dm * (inv * inv)
         else:  # Damping
-            gm = 2.0 * dm
-        g = 2.0 * gdata + alpha * gm
-        p = p - eps * g          # full kick; trailing half restored below
-        return (x, p, g, r)
+            gm = dm
+        p = p - s_data * gdata - s_mod * gm  # full kick, two FMAs
+        return (x, p, pk, r)
 
     r0 = jnp.zeros((x_ref.shape[0], dobs_ref.shape[1]), jnp.float32)
-    x, p, g, r = jax.lax.fori_loop(
-        0, L, body, (x_ref[:], p_ref[:], jnp.zeros_like(x_ref[:]), r0))
+    x, p, pk, r = jax.lax.fori_loop(
+        0, L, body, (x_ref[:], p_ref[:], p_ref[:], r0))
+    # gradient at the final state, recovered from the last kick
+    g = (pk - p) * (1.0 / eps)
     # misfit values of the final state (once per trajectory, not per step)
     ud = jnp.sum(r * r, axis=1, keepdims=True)
     dm = x - aprior
@@ -174,7 +183,7 @@ def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
     else:
         um = jnp.sum(dm2, axis=1, keepdims=True)
     x_out[:] = x
-    p_out[:] = p + 0.5 * eps * g   # undo half of the last full kick
+    p_out[:] = 0.5 * (pk + p)      # undo half of the last full kick
     g_out[:] = g
     U_out[:] = ud + alpha * um
     ud_out[:] = ud
@@ -203,13 +212,21 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
         v = np.asarray(v, np.float32).reshape(1, -1)
         return np.pad(v, ((0, 0), (0, n - v.shape[1])))
 
+    # fold the mean-removal projector into the resident matrix: with
+    # A_c = (I - 11^T/D) A (true rows only; pad rows stay zero) the
+    # per-step residual is r = (A_c x - (dobs_c - fix_c)) * dmask — no
+    # mean reduce/subtract in the loop. Exact: r sums to zero over true
+    # rows, so the gradient A_c^T r == A^T r.
+    A64 = np.asarray(A, np.float64)
     A_p = np.zeros((Dp, Mp), np.float32)
-    A_p[:D, :M] = np.asarray(A, np.float32)
+    A_p[:D, :M] = (A64 - A64.mean(axis=0)).astype(np.float32)
     A_dev = jnp.asarray(A_p, matvec_dtype)
     At_dev = jnp.asarray(A_p.T.copy(), matvec_dtype)
-    dobs_p = jnp.asarray(pad2(dobs_centered, Dp))
-    fix_p = jnp.asarray(pad2(grav_fix if grav_fix is not None
-                             else np.zeros(D), Dp))
+    fix = (np.asarray(grav_fix, np.float64) if grav_fix is not None
+           else np.zeros(D))
+    dobs_merged = (np.asarray(dobs_centered, np.float64)
+                   - (fix - fix.mean()))
+    dobs_p = jnp.asarray(pad2(dobs_merged, Dp))
     aprior_p = jnp.asarray(pad2(aprior, Mp))
     wmsq_p = jnp.asarray(pad2(wm_sq, Mp))
     low_p = jnp.asarray(pad2(low, Mp))
@@ -224,14 +241,18 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     # at the flagship scale), which the tunnelled link then re-ships on
     # every compile / cache load
     fused_params = {
-        "A": A_dev, "At": At_dev, "dobs": dobs_p, "fix": fix_p,
+        "A": A_dev, "At": At_dev, "dobs": dobs_p,
         "dmask": dmask_p, "aprior": aprior_p, "wmsq": wmsq_p,
         "low": low_p, "high": high_p,
+        # identity metric by default; pass inv_mass= to traj() after
+        # warmup mass adaptation (padding cells keep im=1, harmless:
+        # low=high pins their x)
+        "im": jnp.ones((1, Mp), jnp.float32),
     }
 
     kernel = functools.partial(
         _traj_kernel, regularization=regularization, beta=float(beta),
-        n_obs=float(D), matvec_dtype=matvec_dtype)
+        matvec_dtype=matvec_dtype)
 
     # the dynamic-trip-count loop keeps far more temporaries live than the
     # straight-line step kernel (measured: 45.8 MB at tile_c=8 on v5e, i.e.
@@ -242,8 +263,12 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     tile_bytes = 30 * tile_c * Mp * 4
     vmem_limit = min(int(2 * mat_bytes + tile_bytes + (1 << 24)), 120 << 20)
 
-    def traj(x, p, L, eps, alpha, params=None):
+    def traj(x, p, L, eps, alpha, params=None, inv_mass=None):
         prm = fused_params if params is None else params
+        if inv_mass is not None:
+            im = jnp.pad(jnp.asarray(inv_mass, jnp.float32).reshape(1, -1),
+                         ((0, 0), (0, Mp - M)), constant_values=1.0)
+            prm = dict(prm, im=im)
         C, Mx = x.shape
         assert Mx == M, (Mx, M)
         assert C % tile_c == 0, (C, tile_c)
@@ -267,15 +292,15 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
                              memory_space=pltpu.SMEM),
                 vspec((tile_c, Mp), tile_map),            # x
                 vspec((tile_c, Mp), tile_map),            # p
-                const((Dp, Mp)),                          # A (resident)
-                const((Mp, Dp)),                          # A^T (resident)
-                const((1, Dp)),                           # dobs_centered
-                const((1, Dp)),                           # grav_fix
+                const((Dp, Mp)),                          # A_c (resident)
+                const((Mp, Dp)),                          # A_c^T (resident)
+                const((1, Dp)),                           # dobs_c - fix_c
                 const((1, Dp)),                           # dmask
                 const((1, Mp)),                           # aprior
                 const((1, Mp)),                           # wm_sq
                 const((1, Mp)),                           # low
                 const((1, Mp)),                           # high
+                const((1, Mp)),                           # inv mass
             ],
             out_specs=[
                 vspec((tile_c, Mp), tile_map),
@@ -296,9 +321,9 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
-        )(scal, Ls, xp, pp, prm["A"], prm["At"], prm["dobs"], prm["fix"],
+        )(scal, Ls, xp, pp, prm["A"], prm["At"], prm["dobs"],
           prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
-          prm["high"])
+          prm["high"], prm["im"])
         x2, p2, g2, U, ud, um = out
         return (x2[:, :M], p2[:, :M], g2[:, :M], U[:, 0], ud[:, 0],
                 um[:, 0])
@@ -353,6 +378,7 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
         "A": A_dev, "At": At_dev, "dobs": dobs_p, "fix": fix_p,
         "dmask": dmask_p, "aprior": aprior_p, "wmsq": wmsq_p,
         "low": low_p, "high": high_p,
+        "im": jnp.ones((1, Mp), jnp.float32),
     }
 
     kernel = functools.partial(
@@ -368,8 +394,12 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
     tile_bytes = 16 * tile_c * Mp * 4  # in/out x,p (double-buffered) + temps
     vmem_limit = min(int(mat_bytes + 2 * tile_bytes + (1 << 22)), 120 << 20)
 
-    def step(x, p, eps, alpha, params=None):
+    def step(x, p, eps, alpha, params=None, inv_mass=None):
         prm = fused_params if params is None else params
+        if inv_mass is not None:
+            im = jnp.pad(jnp.asarray(inv_mass, jnp.float32).reshape(1, -1),
+                         ((0, 0), (0, Mp - M)), constant_values=1.0)
+            prm = dict(prm, im=im)
         C, Mx = x.shape
         assert Mx == M, (Mx, M)
         assert C % tile_c == 0, (C, tile_c)
@@ -406,6 +436,7 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
                 const((1, Mp)),                           # wm_sq
                 const((1, Mp)),                           # low
                 const((1, Mp)),                           # high
+                const((1, Mp)),                           # inv mass
             ],
             out_specs=[
                 vspec((tile_c, Mp), tile_map),
@@ -426,7 +457,7 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
                 vmem_limit_bytes=vmem_limit),
         )(scal, xp, pp, prm["A"], prm["At"], prm["dobs"], prm["fix"],
           prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
-          prm["high"])
+          prm["high"], prm["im"])
         x2, p2, U, ud, um = out
         return (x2[:, :M], p2[:, :M], U[:, 0], ud[:, 0], um[:, 0])
 

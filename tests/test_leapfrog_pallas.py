@@ -176,6 +176,58 @@ def test_fused_trajectory_kernel_matches_shared_L(small_module, reg):
                                rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("reg", ["MS", "Damping"])
+def test_fused_trajectory_with_diagonal_metric(small_module, reg):
+    """The fused trajectory under a non-identity diagonal inverse mass
+    matches the XLA shared-L path — the configuration warmup mass
+    adaptation leaves behind (round-2 silently disabled the fused path
+    whenever adapt_mass was on)."""
+    module, dobs, _ = small_module
+    pot, _, low, high, aprior = _setup(module, dobs, reg)
+    M = module.n_active
+    wdiag = module.wdiag
+    ftraj = make_fused_trajectory(
+        np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs), None,
+        aprior, wdiag * wdiag, low, high, regularization=reg, beta=0.001,
+        tile_c=8, matvec_dtype=jnp.float32, interpret=True)
+    C, nsamples, chunk = 8, 16, 12
+    rng = np.random.RandomState(7)
+    inv_mass = jnp.asarray(10.0 ** rng.uniform(-2, 0, M), jnp.float32)
+
+    def build(fused):
+        return hmc.make_chunk_sampler(
+            pot, dt=0.01, Lmin=3, Lmax=8, Sigma=0.001, low=low, high=high,
+            constraint="mandatory", alpha=1.0, chunk_size=chunk,
+            nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
+            data_size=dobs.size, dtype=jnp.float32, shared_L=True,
+            fused_trajectory=ftraj if fused else None)
+
+    x0 = jnp.asarray(np.tile(np.full(M, 0.3, np.float32)[None, :] *
+                             np.asarray(module.wdiag, np.float32),
+                             (C, 1)), jnp.float32)
+    U, g, (_, ud, um) = pot(x0, 1.0)
+
+    def carry0():
+        return (jnp.array(x0), jnp.array(U), jnp.array(g), jnp.array(ud),
+                jnp.array(um), jnp.zeros(C, jnp.int32),
+                jnp.zeros((C, nsamples, M), jnp.float32),
+                jnp.zeros((C, nsamples, 7), jnp.float32))
+
+    key = random.PRNGKey(11)
+    c_x, s_x = build(False)(carry0(), key, 0, pot.params,
+                            inv_mass=inv_mass)
+    c_f, s_f = build(True)(carry0(), key, 0, pot.params,
+                           inv_mass=inv_mass)
+
+    np.testing.assert_array_equal(np.asarray(s_x[..., 0]),
+                                  np.asarray(s_f[..., 0]))
+    np.testing.assert_array_equal(np.asarray(c_x[5]), np.asarray(c_f[5]))
+    np.testing.assert_allclose(np.asarray(c_x[0]), np.asarray(c_f[0]),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(c_x[6]), np.asarray(c_f[6]),
+                               rtol=5e-3, atol=5e-4)
+
+
 def test_fused_rejects_bad_config(small_module):
     module, dobs, _ = small_module
     pot, fstep, low, high, _ = _setup(module, dobs)

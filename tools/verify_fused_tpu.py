@@ -25,8 +25,7 @@ import jax.numpy as jnp
 
 
 def main():
-    sys.path.insert(0, os.getcwd())
-    from bench import build_problem
+    from gravinv3dhmc_tpu.bench import build_problem
     from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_step
 
     module, dobs = build_problem()
@@ -70,30 +69,24 @@ def main():
         U, g, (_, ud, um) = potential_fn.fn(x, alpha, prm)
         return x, p - dt * g, U, ud, um
 
-    @jax.jit
-    def compare(x0, p0, prm):
-        xa, pa, Ua, uda, uma = x0, p0, None, None, None
-        xb, pb = x0, p0
-        max_dx = jnp.float32(0)
-        max_dp = jnp.float32(0)
-        max_du = jnp.float32(0)
-        for _ in range(5):
-            xa, pa, Ua, uda, uma = fused(xa, pa, dt, alpha)
-            xb, pb, Ub, udb, umb = xla_step(xb, pb, prm)
-            scale_u = jnp.maximum(jnp.abs(Ub), 1.0)
-            max_dx = jnp.maximum(max_dx, jnp.max(jnp.abs(xa - xb)))
-            max_dp = jnp.maximum(max_dp, jnp.max(jnp.abs(pa - pb)))
-            max_du = jnp.maximum(max_du,
-                                 jnp.max(jnp.abs(Ua - Ub) / scale_u))
-            # resync trajectories so bf16 rounding does not compound
-            # chaotically across steps — each step is verified from the
-            # same state
-            xa, pa = xb, pb
-        return max_dx, max_dp, max_du
+    # two SMALL programs compared step-by-step in python (one monolithic
+    # unrolled-compare jit took >12 min of fresh remote AOT compile; the
+    # per-step diff reduce transfers 3 scalars per step)
+    diff3 = jax.jit(lambda xa, xb, pa, pb, Ua, Ub: (
+        jnp.max(jnp.abs(xa - xb)), jnp.max(jnp.abs(pa - pb)),
+        jnp.max(jnp.abs(Ua - Ub) / jnp.maximum(jnp.abs(Ub), 1.0))))
 
     t0 = time.time()
-    max_dx, max_dp, max_du = compare(x0, p0, potential_fn.params)
-    dx, dp_, du = float(max_dx), float(max_dp), float(max_du)  # 3 scalars
+    dx = dp_ = du = 0.0
+    xb, pb = x0, p0
+    for _ in range(5):
+        xa, pa, Ua, uda, uma = fused(xb, pb, dt, alpha)
+        xb, pb, Ub, udb, umb = xla_step(xb, pb, potential_fn.params)
+        d1, d2, d3 = diff3(xa, xb, pa, pb, Ua, Ub)
+        # resync each step so bf16 rounding does not compound chaotically
+        dx = max(dx, float(d1))
+        dp_ = max(dp_, float(d2))
+        du = max(du, float(d3))
     dt_wall = time.time() - t0
     print(f"5-step fused-vs-XLA (both bf16 matvec, f32 accum), C={C}, "
           f"problem {module.Aw.shape}: max|dx|={dx:.3e} max|dp|={dp_:.3e} "
@@ -106,6 +99,60 @@ def main():
     assert dp_ < 2e-2, dp_
     assert du < 1e-3, du
     print("VERIFY FUSED: OK", flush=True)
+
+    # ---- whole-trajectory kernel: Mosaic-compile + numerics -----------
+    from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_trajectory
+
+    traj = make_fused_trajectory(
+        np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs), None,
+        aprior, wdiag * wdiag, low, high, regularization="MS", beta=0.001,
+        tile_c=32)
+    L = 5
+    inv_mass = jnp.asarray(
+        10.0 ** rng.uniform(-1, 0, M).astype(np.float32))
+
+    @jax.jit
+    def xla_traj(x, p, prm, im):
+        # shared-L trajectory with leading half kick already in p:
+        # L full-kick steps, then undo half of the last kick
+        def body(i, s):
+            x, p, g = s
+            x = x + dt * (p if im is None else im * p)
+            over = x > high_d
+            under = x < low_d
+            x = jnp.clip(x, low_d, high_d)
+            p = jnp.where(over | under, -p, p)
+            U, g, (_, ud, um) = potential_fn.fn(x, alpha, prm)
+            return (x, p - dt * g, g)
+
+        x, p, g = jax.lax.fori_loop(0, L, body,
+                                    (x, p, jnp.zeros_like(x)))
+        return x, p + 0.5 * dt * g, g
+
+    # start mid-box with small momenta so no chain hits a boundary in L
+    # steps: a single bf16 rounding flip of the clamp-negate sign would
+    # diverge the two paths chaotically (the per-step check above and the
+    # exact interpret-mode tests cover the boundary semantics). The two
+    # paths also round A differently (the trajectory kernel folds the
+    # mean-removal projector into A), so tolerances are L-step bf16
+    # accumulation bounds relative to each output's scale.
+    xm = jnp.broadcast_to(jnp.asarray(0.5 * wdiag, jnp.float32),
+                          (32, M)).astype(jnp.float32)
+    pm = p0[:32] * 0.01
+    for im in (None, inv_mass):
+        xt, pt, gt, Ut, udt, umt = traj(xm, pm, jnp.int32(L),
+                                        dt, alpha, inv_mass=im)
+        xr, pr, gr = xla_traj(xm, pm, potential_fn.params, im)
+        sx = float(jnp.max(jnp.abs(xr)))
+        sp = float(jnp.max(jnp.abs(pr)))
+        ddx = float(jnp.max(jnp.abs(xt - xr))) / max(sx, 1e-30)
+        ddp = float(jnp.max(jnp.abs(pt - pr))) / max(sp, 1e-30)
+        tag = "identity" if im is None else "diag-metric"
+        print(f"trajectory kernel ({tag}, L={L}): rel|dx|={ddx:.3e} "
+              f"rel|dp|={ddp:.3e}", flush=True)
+        assert ddx < 2e-2, ddx
+        assert ddp < 2e-2, ddp
+    print("VERIFY FUSED TRAJECTORY: OK", flush=True)
 
     # ---- prism-gz Pallas kernel: Mosaic-compile + numerics ------------
     from gravinv3dhmc_tpu import constants
