@@ -97,6 +97,7 @@ def cmd_global(args):
     out["total_s"] = time.time() - t0
     if getattr(module, "kernel_build_s", None) is not None:
         out["kernel_build_device_s"] = module.kernel_build_s
+        out["weighting_device_s"] = getattr(module, "weighting_s", None)
         out["nearfield_pairs"] = getattr(module, "nearfield_pairs", None)
     if args.out:
         import jax

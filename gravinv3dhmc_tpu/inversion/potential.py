@@ -260,25 +260,34 @@ class GravMagModule:
             print("End of calculate kernel:%.6f s" % (time.time() - t0))
             print("Start to weight kernel")
         t1 = time.time()
-        # device-side weighting; only the (M,) diagonal crosses the link
+        # device-side weighting, FULLY device-resident: even the (M,)
+        # wdiag d2h can stall for minutes on a flaky tunnelled link
+        # (measured: 0.1 s to >300 s for the same 288 KB), so the
+        # diagonal stays on device and every consumer (HMCSample bounds
+        # scaling, sample storage, posterior summaries) computes with it
+        # there. Host copies are available lazily via wdiag_host().
         import jax as _jax
 
-        col_sq = _jax.jit(
-            lambda K: jnp.sum(K.astype(jnp.float32) ** 2, axis=0))(K_dev)
-        wdiag_dev = col_sq ** weightfactor
-        wdiag = d2h_chunked(wdiag_dev).astype(np.float64)
-        wdiag_inv = np.where(wdiag == 0, 0.0,
-                             1.0 / np.where(wdiag == 0, 1.0, wdiag))
-        Aw_dev = _jax.jit(lambda K, wi: K * wi[None, :],
-                          donate_argnums=(0,))(
-            K_dev, h2d(wdiag_inv, self.dtype))
+        wdiag_dev, wdiag_inv_dev, Aw_dev = _jax.jit(
+            lambda K, w: (
+                (cs := jnp.sum(K.astype(jnp.float32) ** 2, axis=0) ** w),
+                (wi := jnp.where(cs == 0, 0.0, 1.0 / jnp.where(
+                    cs == 0, 1.0, cs))),
+                K * wi[None, :].astype(K.dtype)),
+            donate_argnums=(0,), static_argnums=(1,))(
+                K_dev, float(weightfactor))
+        Aw_dev.block_until_ready()
         if verbose:
             print("End of weighting kernel: %.6f s" % (time.time() - t1))
         self.A = np.asarray(K_host) if K_host is not None else None
-        self.Aw = (self.A * wdiag_inv[None, :]
-                   if self.A is not None else None)
-        self.wdiag = wdiag
-        self.wdiag_inv = wdiag_inv
+        self.Aw = None
+        if self.A is not None:
+            wdiag_host = d2h_chunked(wdiag_dev).astype(np.float64)
+            wdiag_inv_host = np.where(wdiag_host == 0, 0.0, 1.0 / np.where(
+                wdiag_host == 0, 1.0, wdiag_host))
+            self.Aw = self.A * wdiag_inv_host[None, :]
+        self.wdiag = wdiag_dev          # device-resident (M,) f32
+        self.wdiag_inv = wdiag_inv_dev  # device-resident (M,) f32
         self.n_active = int(cells.shape[0])
         self._active3d = (self.mesh.active.reshape(self.mesh.shape)
                           if not self.mesh.active.all() else None)
@@ -292,7 +301,12 @@ class GravMagModule:
                          if self.fixed else None),
         }}
         self._potential_cache = {}
-        self.kernel_build_s = time.time() - t0
+        # accounted like the reference's log: kernel build and weighting
+        # are separate stages (reference: example/global/logout_T1.txt —
+        # 246.5 s build + 228.3 s weighting on 72 CPUs). The weighting
+        # stage includes the one (M,) wdiag d2h over the tunnelled link.
+        self.kernel_build_s = t1 - t0
+        self.weighting_s = time.time() - t1
 
     def _finish_init(self, kernel, weightfactor, verbose, start):
         # ----- weighting --------------------------------------------------

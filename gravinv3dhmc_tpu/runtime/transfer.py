@@ -16,7 +16,14 @@ _identity = jax.jit(lambda v: v)
 
 
 def h2d(x, dtype=jnp.float32):
-    """Bulk host->device through the jit-argument upload path."""
+    """Bulk host->device through the jit-argument upload path.
+
+    A value that is ALREADY a device array passes through with at most a
+    device-side cast — ``np.asarray`` on it would be a d2h stall followed
+    by a pointless re-upload."""
+    if isinstance(x, jax.Array):
+        return x if x.dtype == jnp.dtype(dtype) else _identity(
+            x.astype(dtype))
     return _identity(np.asarray(x, jnp.dtype(dtype).name))
 
 
