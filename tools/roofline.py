@@ -1,0 +1,221 @@
+"""Roofline decomposition of the fused-trajectory HMC sampler.
+
+Answers the round-2 verdict question "where do the 7x between the fused
+kernel (1.29M grad-evals/s) and the matmul-only ceiling (~9.3M) go?" by
+timing, on the real device, each layer of the stack at the flagship
+600x6000 scale:
+
+  1. the bare matmul pair d = x A^T; g = r A (the MXU ceiling),
+  2. the fused Pallas trajectory kernel alone at several L (slope =
+     per-leapfrog-step cost, intercept = per-invocation overhead),
+  3. the sampler-side per-iteration work outside the trajectory
+     (momentum refresh RNG, Metropolis accept/select, sample storage),
+  4. a full chunk of the production sampler (the bench number).
+
+All loops run under jit with device-resident carries; only scalar
+timings cross the tunnelled link. Writes tools/roofline.json and prints
+one JSON line.
+
+Usage:  python tools/roofline.py          (run on the TPU)
+Knobs:  ROOFLINE_NCHAINS (1024), ROOFLINE_REPS (30), ROOFLINE_TILE_C
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from gravinv3dhmc_tpu.runtime.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from gravinv3dhmc_tpu.bench import build_problem
+from gravinv3dhmc_tpu.inversion import hmc
+from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_trajectory
+
+
+def timed(fn, *args, reps=3):
+    """Median wall time of fn(*args) with block_until_ready."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.time() - t0)
+    return float(np.median(ts)), out
+
+
+def main():
+    C = int(os.environ.get("ROOFLINE_NCHAINS", "1024"))
+    reps = int(os.environ.get("ROOFLINE_REPS", "30"))
+    tile_c = int(os.environ.get("ROOFLINE_TILE_C", "128"))
+    interpret = os.environ.get("ROOFLINE_INTERPRET", "0") == "1"
+
+    module, dobs = build_problem()
+    M = module.n_active
+    D = dobs.size
+    wdiag = module.wdiag
+    aprior = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+
+    traj = make_fused_trajectory(
+        np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs), None,
+        aprior, wdiag * wdiag, low, high, regularization="MS",
+        beta=0.001, tile_c=tile_c, interpret=interpret)
+    A = traj.params["A"]          # (Dp, Mp) bf16, mean-projected
+    At = traj.params["At"]
+    Dp, Mp = A.shape
+    flops_per_step = 4.0 * Dp * Mp  # two matvecs per chain
+
+    x0 = jnp.broadcast_to(jnp.asarray(0.5 * wdiag, jnp.float32),
+                          (C, M)).astype(jnp.float32)
+    xp0 = jnp.zeros((C, Mp), jnp.float32).at[:, :M].set(x0)
+
+    # ---- 1. matmul-only ceiling: reps x (d = x At; g = r A) ----------
+    @jax.jit
+    def matmul_pair_loop(xp, A, At, n):
+        def body(_, x):
+            d = jax.lax.dot_general(
+                x.astype(A.dtype), At, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g = jax.lax.dot_general(
+                d.astype(A.dtype), A, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # rescale to keep values bounded without extra HBM traffic
+            return x + 1e-6 * g
+        return jax.lax.fori_loop(0, n, body, xp)
+
+    t_pair, _ = timed(matmul_pair_loop, xp0, A, At, reps)
+    t_pair0, _ = timed(matmul_pair_loop, xp0, A, At, 0)
+    pair_s = max(t_pair - t_pair0, 1e-9) / reps
+    matmul_ge_per_s = C / pair_s
+    matmul_tflops = C * flops_per_step / pair_s / 1e12
+
+    # ---- 2. fused trajectory at several L ----------------------------
+    p0 = 0.001 * xp0[:, :M]
+    eps = jnp.float32(1e-4)
+    alpha = jnp.float32(1.0)
+
+    @jax.jit
+    def traj_loop(x, p, L, n, params):
+        def body(_, s):
+            x, p = s
+            x2, p2, g2, U, ud, um = traj(x, p, L, eps, alpha,
+                                         params=params)
+            return (x2, p2 * 0.999)
+        return jax.lax.fori_loop(0, n, body, (x, p))
+
+    Ls = [1, 4, 16, 48]
+    t_by_L = {}
+    nrep_by_L = {}
+    for L in Ls:
+        nrep = max(2, int(round(reps * 16 / max(L, 4))))
+        t, _ = timed(traj_loop, x0, p0, jnp.int32(L), nrep, traj.params)
+        t0, _ = timed(traj_loop, x0, p0, jnp.int32(L), 0, traj.params)
+        t_by_L[L] = max(t - t0, 1e-9) / nrep
+        nrep_by_L[L] = nrep
+    # least-squares slope/intercept of t(L) = a + b L
+    Larr = np.array(Ls, float)
+    Tarr = np.array([t_by_L[L] for L in Ls])
+    b, a = np.polyfit(Larr, Tarr, 1)
+    traj_ge_per_s = C / max(b, 1e-12)
+    traj_tflops = C * flops_per_step / max(b, 1e-12) / 1e12
+
+    # ---- 3. sampler-side per-iteration work --------------------------
+    key = random.PRNGKey(0)
+
+    @jax.jit
+    def rng_refresh_loop(x, key, n):
+        def body(i, s):
+            x, key = s
+            key, sub = random.split(key)
+            p = random.normal(sub, x.shape, x.dtype)
+            return (x + 0.0 * p, key)
+        return jax.lax.fori_loop(0, n, body, (x, key))
+
+    t_rng, _ = timed(rng_refresh_loop, x0, key, reps)
+    t_rng0, _ = timed(rng_refresh_loop, x0, key, 0)
+    rng_s = max(t_rng - t_rng0, 1e-9) / reps
+
+    @jax.jit
+    def accept_select_loop(x, key, n):
+        def body(i, s):
+            x, key = s
+            key, sub = random.split(key)
+            acc = random.uniform(sub, (x.shape[0],)) < 0.8
+            x2 = jnp.where(acc[:, None], x * 0.999, x)
+            return (x2, key)
+        return jax.lax.fori_loop(0, n, body, (x, key))
+
+    t_acc, _ = timed(accept_select_loop, x0, key, reps)
+    t_acc0, _ = timed(accept_select_loop, x0, key, 0)
+    accept_s = max(t_acc - t_acc0, 1e-9) / reps
+
+    # ---- 4. full production chunk ------------------------------------
+    potential_fn = module.make_potential(
+        aprior, low, high, constraint="mandatory", regularization="MS",
+        beta=0.001, dtype=jnp.float32)
+    nsamples = 64
+    chunk_size = 128
+    run_chunk = hmc.make_chunk_sampler(
+        potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
+        high=high, constraint="mandatory", alpha=1.0,
+        chunk_size=chunk_size, nsamples=nsamples, ndraws=0,
+        wdiag_inv=module.wdiag_inv, data_size=D, dtype=jnp.float32,
+        shared_L=True, fused_trajectory=traj)
+    U, g, (_, u_data, u_model) = potential_fn(x0, 1.0)
+    carry = (x0, U, g, u_data, u_model, jnp.zeros(C, jnp.int32),
+             jnp.zeros((C, nsamples, M), jnp.float32),
+             jnp.zeros((C, nsamples, 7), jnp.float32))
+    carry, stats = run_chunk(carry, key, 0, potential_fn.params)
+    jax.block_until_ready(carry[0])
+    t0 = time.time()
+    carry, stats = run_chunk(carry, key, 1, potential_fn.params)
+    ge = jnp.sum(stats[..., 4])
+    jax.block_until_ready(ge)
+    chunk_s = time.time() - t0
+    chunk_ge_per_s = float(ge) / chunk_s
+    per_iter_s = chunk_s / chunk_size
+    # E[L]=12.5 -> expected trajectory time per iteration from the fit
+    traj_part = a + b * 12.5
+    out = {
+        "device": str(jax.devices()[0]),
+        "problem": [D, M],
+        "padded": [int(Dp), int(Mp)],
+        "nchains": C,
+        "tile_c": tile_c,
+        "matmul_pair_s": pair_s,
+        "matmul_only_grad_evals_per_s": matmul_ge_per_s,
+        "matmul_only_tflops": matmul_tflops,
+        "traj_s_by_L": {str(L): t_by_L[L] for L in Ls},
+        "traj_per_step_s": b,
+        "traj_per_call_overhead_s": a,
+        "traj_kernel_grad_evals_per_s": traj_ge_per_s,
+        "traj_kernel_tflops": traj_tflops,
+        "rng_refresh_s_per_iter": rng_s,
+        "accept_select_s_per_iter": accept_s,
+        "chunk_s_per_iter": per_iter_s,
+        "chunk_grad_evals_per_s": chunk_ge_per_s,
+        "iter_budget": {
+            "trajectory(E[L]=12.5)": traj_part,
+            "rng_refresh": rng_s,
+            "accept_select": accept_s,
+            "unaccounted": per_iter_s - traj_part - rng_s - accept_s,
+        },
+    }
+    with open(os.path.join(os.path.dirname(__file__), "roofline.json"),
+              "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
