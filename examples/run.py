@@ -95,6 +95,8 @@ def cmd_global(args):
     out["workload"] = f"global(scale={args.scale})"
     out["problem"] = [int(dobs.size), int(module.n_active)]
     out["total_s"] = time.time() - t0
+    if "kernel_build_host_s" in wl:
+        out["kernel_build_host_s"] = wl["kernel_build_host_s"]
     if getattr(module, "kernel_build_s", None) is not None:
         out["kernel_build_device_s"] = module.kernel_build_s
         out["weighting_device_s"] = getattr(module, "weighting_s", None)

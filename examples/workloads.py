@@ -253,10 +253,27 @@ def forward_with_noise(wl, noise=0.02, seed=1, kernel_cache=None):
                     f"kernel cache metadata shape {meta['shape']} != "
                     f"({D}, {M}) of the current workload")
         dpre = K @ np.asarray(wl["rho"], dtype=K.dtype)
-    elif wl.get("mesh_kwargs", {}).get("coordinate") == "spherical":
-        dpre, _ = tess.gz(xo, yo, zo, wl["mesh"])
     else:
-        dpre, _ = prism.gz(xo, yo, zo, wl["mesh"])
+        t0 = time.time()
+        if wl.get("mesh_kwargs", {}).get("coordinate") == "spherical":
+            dpre, K = tess.gz(xo, yo, zo, wl["mesh"])
+        else:
+            dpre, K = prism.gz(xo, yo, zo, wl["mesh"])
+        wl["kernel_build_host_s"] = time.time() - t0
+        if kernel_cache:
+            # persist the f64 host kernel: later runs forward with one
+            # matvec, and the device-built kernel can be spot-checked
+            # against it (examples/run.py cmd_global)
+            os.makedirs(os.path.dirname(kernel_cache) or ".",
+                        exist_ok=True)
+            np.save(kernel_cache, K)
+            import json as _json
+            meta_path = os.path.join(os.path.dirname(kernel_cache) or ".",
+                                     "global_build_meta.json")
+            with open(meta_path, "w") as f:
+                _json.dump({"shape": list(K.shape),
+                            "build_s": wl["kernel_build_host_s"]}, f)
+        del K
     dobs = utils.contaminate(dpre, noise * np.abs(dpre).max(), seed=seed)
     return dpre, dobs
 

@@ -87,6 +87,7 @@ def realdata_stage(stage):
     nchains = int(os.environ.get("BENCH_REALDATA_NCHAINS", "256"))
     chunk_size = int(os.environ.get("BENCH_REALDATA_CHUNK", "64"))
     n_timed = int(os.environ.get("BENCH_REALDATA_CHUNKS", "2"))
+    dt = float(os.environ.get("BENCH_REALDATA_DT", "0.005"))
     t_build = time.time()
     module, dobs = build_realdata_problem()
     build_s = time.time() - t_build
@@ -112,10 +113,17 @@ def realdata_stage(stage):
         fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
                  np.asarray(module.grav_fix), aprior,
                  wdiag * wdiag, low, high)
+        # f32 matvec by default: the tesseroid kernel's dynamic range
+        # makes bf16 trajectory noise break H conservation (measured:
+        # accept 0.038 bf16 vs ~0.99 f32 at dt=0.005) — a fast sampler
+        # that rejects everything is not sampling
+        rd_dtype = jnp.dtype(os.environ.get("BENCH_REALDATA_MATVEC_DTYPE",
+                                            "float32"))
         for tile_c in (64, 32):
             try:
                 fused_traj = make_fused_trajectory(
-                    *fargs, regularization="Damping", tile_c=tile_c)
+                    *fargs, regularization="Damping", tile_c=tile_c,
+                    matvec_dtype=rd_dtype)
                 # TWO tiles: grid>1 turns on block double-buffering, which
                 # costs extra scoped VMEM a 1-tile probe never exercises
                 probe = jnp.zeros((2 * tile_c, M), jnp.float32)
@@ -133,7 +141,7 @@ def realdata_stage(stage):
     stage(f"realdata potential ready (fused={fused_mode})")
     nsamples = 64
     run_chunk = hmc.make_chunk_sampler(
-        potential_fn, dt=0.005, Lmin=5, Lmax=40, Sigma=0.001, low=low,
+        potential_fn, dt=dt, Lmin=5, Lmax=40, Sigma=0.001, low=low,
         high=high, constraint="mandatory", alpha=0.05,
         chunk_size=chunk_size, nsamples=nsamples, ndraws=0,
         wdiag_inv=module.wdiag_inv, data_size=dobs.size,
