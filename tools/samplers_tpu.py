@@ -1,0 +1,178 @@
+"""TPU measurement of the adaptive samplers (NUTS / ChEES-HMC).
+
+docs/SAMPLERS.md's round-2 comparison was measured on a 2-core CPU
+backend; this tool produces the TPU rows: compile time, sampling wall
+time, ESS/s, R-hat, acceptance and divergences for NUTS and ChEES on
+the uniformgrid flagship problem — with the sample buffers kept
+device-resident and diagnostics computed on device (the tunnelled link
+stalls on bulk device->host copies), so only scalars cross the link.
+
+Usage:  python tools/samplers_tpu.py [nuts] [chees]   (on the TPU)
+Knobs:  SAMPLERS_NCHAINS (8), SAMPLERS_NSAMPLES (200),
+        SAMPLERS_NWARMUP (200), SAMPLERS_SUB (64)
+Writes tools/samplers_tpu.json and prints one JSON line per sampler.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from gravinv3dhmc_tpu.runtime.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from gravinv3dhmc_tpu.bench import build_problem
+from gravinv3dhmc_tpu.diagnostics import ess_jax
+from gravinv3dhmc_tpu.inversion.potential import (logistic_to_mw,
+                                                  mw_to_logistic)
+
+
+def rhat_jax(chains):
+    """Split-chain R-hat on device. chains: (C, N, K) -> (K,)."""
+    c, n, k = chains.shape
+    half = n // 2
+    sp = jnp.concatenate([chains[:, :half], chains[:, half: 2 * half]],
+                         axis=0)  # (2C, half, K)
+    means = jnp.mean(sp, axis=1)                      # (2C, K)
+    vars_ = jnp.var(sp, axis=1, ddof=1)               # (2C, K)
+    B = half * jnp.var(means, axis=0, ddof=1)         # (K,)
+    W = jnp.mean(vars_, axis=0)
+    W = jnp.where(W == 0, 1e-30, W)
+    return jnp.sqrt((half - 1) / half + B / (half * W))
+
+
+def main():
+    which = [a for a in sys.argv[1:] if not a.startswith("-")] or \
+        ["nuts", "chees"]
+    C = int(os.environ.get("SAMPLERS_NCHAINS", "8"))
+    N = int(os.environ.get("SAMPLERS_NSAMPLES", "200"))
+    W = int(os.environ.get("SAMPLERS_NWARMUP", "200"))
+    nsub = int(os.environ.get("SAMPLERS_SUB", "64"))
+    dtype = jnp.float32
+
+    module, dobs = build_problem()
+    M = module.n_active
+    wdiag = np.asarray(module.wdiag)
+    aprior = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    log_factor = 1000.0
+    # the proper Bayesian target: logistic box transform + log-Jacobian,
+    # T=1 (docs/SAMPLERS.md "same-target mode")
+    batched = module.make_potential(
+        aprior, low, high, constraint="logarithmic",
+        log_factor=log_factor, regularization="MS", beta=0.001,
+        dtype=dtype, jacobian=True, temperature=1.0)
+    x0 = mw_to_logistic(
+        np.clip(wdiag * np.full(M, 0.001),
+                low + 1e-9 * (high - low + 1e-30),
+                high - 1e-9 * (high - low + 1e-30)),
+        low, high, log_factor)
+    x0 = np.where(np.isfinite(x0), x0, 0.0)
+    x0_b = jnp.asarray(np.tile(x0[None, :], (C, 1)), dtype)
+    low_d = jnp.asarray(low, dtype)
+    high_d = jnp.asarray(high, dtype)
+    sub = jnp.asarray(np.random.RandomState(0).choice(
+        M, size=min(M, nsub), replace=False))
+
+    def summarize(xs_cnm, elapsed_s, compile_s, extra):
+        """xs_cnm: (C, N, M) device array in x (logistic) space."""
+        mw = logistic_to_mw(xs_cnm[:, :, sub], low_d[sub], high_d[sub],
+                            log_factor)
+        ess = ess_jax(mw)
+        rh = rhat_jax(mw)
+        out = dict(
+            nchains=C, nsamples=N, nwarmup=W,
+            compile_s=round(compile_s, 1),
+            sampling_s=round(elapsed_s, 2),
+            ess_min=float(jnp.min(ess)),
+            ess_median=float(jnp.median(ess)),
+            ess_per_s_median=float(jnp.median(ess)) / elapsed_s,
+            rhat_max=float(jnp.max(rh)),
+        )
+        out.update(extra)
+        return out
+
+    results = {"device": str(jax.devices()[0]), "problem": [dobs.size, M]}
+
+    if "nuts" in which:
+        from gravinv3dhmc_tpu.inversion.nuts import run_nuts
+
+        def _run(x, k, P):
+            def pot_single(xx):
+                u, g, _ = batched.fn(xx, 1.0, P)
+                return u, g
+            return run_nuts(pot_single, x, k, n_warmup=W, n_samples=N,
+                            step_size0=0.01, max_depth=8, dtype=dtype)
+
+        keys = random.split(random.PRNGKey(100), C)
+        runner = jax.jit(jax.vmap(_run, in_axes=(0, 0, None)))
+        t0 = time.time()
+        compiled = runner.lower(x0_b, keys, batched.params).compile()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        xs, stats = compiled(x0_b, keys, batched.params)
+        jax.block_until_ready(xs)
+        elapsed = time.time() - t0
+        depths = stats["depths"]
+        res = summarize(xs, elapsed, compile_s, dict(
+            sampler="nuts",
+            mean_accept=float(jnp.mean(stats["accept_probs"])),
+            mean_depth=float(jnp.mean(depths.astype(jnp.float32))),
+            divergences=int(jnp.sum(stats["divergences"])),
+            grad_evals=int(jnp.sum(2 ** depths.astype(jnp.int32) - 1)),
+            step_size_mean=float(jnp.mean(stats["step_size"])),
+        ))
+        res["grad_evals_per_s"] = res["grad_evals"] / elapsed
+        results["nuts"] = res
+        print(json.dumps({"sampler": "nuts", **res}), flush=True)
+
+    if "chees" in which:
+        from gravinv3dhmc_tpu.inversion.chees import run_chees
+
+        def _run_chees(x, k, P):
+            def pot_batch(xx):
+                u, g, _ = batched.fn(xx, 1.0, P)
+                return u, g
+            return run_chees(pot_batch, x, k, n_warmup=W, n_samples=N,
+                             step_size0=0.01, dtype=dtype)
+
+        runner = jax.jit(_run_chees, static_argnums=())
+        t0 = time.time()
+        compiled = runner.lower(x0_b, random.PRNGKey(100),
+                                batched.params).compile()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        xs, stats = compiled(x0_b, random.PRNGKey(100), batched.params)
+        jax.block_until_ready(xs)
+        elapsed = time.time() - t0
+        xs_cnm = jnp.swapaxes(xs, 0, 1)  # (N, C, M) -> (C, N, M)
+        # stats["L"] is the shared per-iteration trajectory length; every
+        # chain runs it, so grad evals = C * sum(L) (sampling phase only)
+        res = summarize(xs_cnm, elapsed, compile_s, dict(
+            sampler="chees",
+            mean_accept=float(jnp.mean(stats["accept"])),
+            step_size=float(jnp.asarray(stats["step_size"]).reshape(-1)[0]),
+            trajectory_time=float(
+                jnp.asarray(stats["trajectory_time"]).reshape(-1)[0]),
+            grad_evals=int(C * jnp.sum(stats["L"])),
+        ))
+        res["grad_evals_per_s"] = res["grad_evals"] / elapsed
+        results["chees"] = res
+        print(json.dumps({"sampler": "chees", **res}), flush=True)
+
+    with open(os.path.join(os.path.dirname(__file__),
+                           "samplers_tpu.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
