@@ -43,6 +43,15 @@ BASELINE_REALDATA_GRAD_EVALS_PER_S = 300.0  # 2 chains x ~150/s
 REFERENCE_REALDATA = "/root/reference/example/realdata/data"
 
 
+def _base_key():
+    """Bench PRNG key. BENCH_RBG=1 switches to the hardware-friendly
+    'rbg' implementation (threefry's bit generation is pure VPU work and
+    shows up at ~24.6 MB of normals per iteration at bench scale)."""
+    if os.environ.get("BENCH_RBG", "0") == "1":
+        return random.key(0, impl="rbg")
+    return random.PRNGKey(0)
+
+
 def build_realdata_problem(verbose=False):
     """The reference's full-feature South China case: spherical tesseroids
     + segmented depth spacing + topography carve + frozen water cells
@@ -153,7 +162,7 @@ def realdata_stage(stage):
              jnp.zeros(nchains, jnp.int32),
              jnp.zeros((nchains, nsamples, M), jnp.float32),
              jnp.zeros((nchains, nsamples, 7), jnp.float32))
-    base_key = random.PRNGKey(0)
+    base_key = _base_key()
     carry, stats = run_chunk(carry, base_key, 0, potential_fn.params)
     jax.block_until_ready(carry[0])
     stage("realdata warmup chunk compiled + ran")
@@ -305,7 +314,7 @@ def main():
              jnp.zeros(nchains, jnp.int32),
              jnp.zeros((nchains, nsamples, M), jnp.float32),
              jnp.zeros((nchains, nsamples, 7), jnp.float32))
-    base_key = random.PRNGKey(0)
+    base_key = _base_key()
 
     # warmup (compile)
     carry, stats = run_chunk(carry, base_key, 0, potential_fn.params)
