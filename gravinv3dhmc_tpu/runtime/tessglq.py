@@ -35,6 +35,14 @@ def get_lib():
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
+        # a stale binary (older ABI than this module expects) must trigger
+        # a rebuild, not a silent numpy fallback in every caller: mtimes
+        # are unreliable (git checkout resets them), so probe the newest
+        # symbol directly
+        if not hasattr(lib, "tessglq_subdiv_count"):
+            del lib  # release the handle before overwriting the file
+            _build()
+            lib = ctypes.CDLL(_LIB_PATH)
         dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         iptr = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.tessglq_kernel_matrix.restype = None
