@@ -228,12 +228,38 @@ def realdata_southchina():
 # shared runners
 # ---------------------------------------------------------------------------
 
+def _cache_meta_path(kernel_cache):
+    """Per-cache metadata file (``k.npy`` -> ``k.meta.json``): a fixed
+    per-directory name would let two caches in one directory clobber each
+    other's metadata."""
+    stem = kernel_cache[:-4] if kernel_cache.endswith(".npy") \
+        else kernel_cache
+    return stem + ".meta.json"
+
+
+def _geometry_fingerprint(wl):
+    """Hash of everything the kernel matrix depends on — mesh bounds,
+    spacing, mesh kwargs and observation coordinates — so a
+    shape-compatible cache from a DIFFERENT geometry is rejected instead
+    of silently replaying wrong observations."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(repr(tuple(np.asarray(wl["mrange"], np.float64))).encode())
+    h.update(repr(wl["mspacing"]).encode())
+    h.update(repr(sorted(wl.get("mesh_kwargs", {}).items())).encode())
+    for a in wl["obs"]:
+        h.update(np.ascontiguousarray(a, np.float64).tobytes())
+    return h.hexdigest()
+
+
 def forward_with_noise(wl, noise=0.02, seed=1, kernel_cache=None):
     """Forward the synthetic truth + seeded noise. When ``kernel_cache``
     points at an existing ``.npy`` kernel matrix (the same file
     :class:`GravMagModule` caches), the forward is one matvec against it
     instead of a full rebuild — at global scale that saves a second
     ~90 s kernel construction."""
+    import json
+
     xo, yo, zo = wl["obs"]
     if kernel_cache and os.path.exists(kernel_cache):
         K = np.load(kernel_cache, mmap_mode="r")
@@ -243,15 +269,16 @@ def forward_with_noise(wl, noise=0.02, seed=1, kernel_cache=None):
                 f"kernel cache {kernel_cache} has shape {K.shape}, but the "
                 f"current workload needs ({D}, {M}) — stale cache from a "
                 "different --scale or geometry?")
-        meta_path = os.path.join(os.path.dirname(kernel_cache) or ".",
-                                 "global_build_meta.json")
+        meta_path = _cache_meta_path(kernel_cache)
+        fp = _geometry_fingerprint(wl)
         if os.path.exists(meta_path):
-            import json
             meta = json.load(open(meta_path))
-            if "shape" in meta and tuple(meta["shape"]) != (D, M):
+            if meta.get("geometry") not in (None, fp):
                 raise ValueError(
-                    f"kernel cache metadata shape {meta['shape']} != "
-                    f"({D}, {M}) of the current workload")
+                    f"kernel cache {kernel_cache} was built for a "
+                    "different geometry (fingerprint mismatch in "
+                    f"{meta_path}) — delete the cache or pass the "
+                    "matching workload")
         dpre = K @ np.asarray(wl["rho"], dtype=K.dtype)
     else:
         t0 = time.time()
@@ -267,12 +294,10 @@ def forward_with_noise(wl, noise=0.02, seed=1, kernel_cache=None):
             os.makedirs(os.path.dirname(kernel_cache) or ".",
                         exist_ok=True)
             np.save(kernel_cache, K)
-            import json as _json
-            meta_path = os.path.join(os.path.dirname(kernel_cache) or ".",
-                                     "global_build_meta.json")
-            with open(meta_path, "w") as f:
-                _json.dump({"shape": list(K.shape),
-                            "build_s": wl["kernel_build_host_s"]}, f)
+            with open(_cache_meta_path(kernel_cache), "w") as f:
+                json.dump({"shape": list(K.shape),
+                           "geometry": _geometry_fingerprint(wl),
+                           "build_s": wl["kernel_build_host_s"]}, f)
         del K
     dobs = utils.contaminate(dpre, noise * np.abs(dpre).max(), seed=seed)
     return dpre, dobs

