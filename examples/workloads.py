@@ -356,7 +356,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             save_folder=None, seed=100, verbose=True, kernel_cache=None,
             sampler="hmc", nwarmup=None, temperature=None,
             adapt_step_size=False, adapt_mass=False, adapt_chunks=10,
-            kernel_device=False, transfer_samples=True):
+            kernel_device=False, transfer_samples=True,
+            cg_warm_start=False, cg_maxk=200, store_mode="accepted"):
     """Shared sampling driver (reference: example/*/main_*.py pattern).
 
     ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
@@ -370,6 +371,13 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
     link-safe configuration) and ``transfer_samples=False`` keeps the
     posterior buffers device-resident, with statistics computed on device
     (:func:`device_posterior_summary`).
+
+    ``cg_warm_start=True`` runs the device-resident ConjugateGradient
+    first (reginv.cg_device) and seeds every chain at its solution — the
+    reference's own production workflow ("CG for the map, HMC for the
+    uncertainty around it"): with the reference's Sigma-tempered kinetic
+    the HMC posterior is a narrow ball around its start, so starting at
+    the MAP is what makes the whole-Earth posterior fit the data.
     """
     mesh_kwargs = dict(wl.get("mesh_kwargs", {}))
     t0 = time.time()
@@ -382,6 +390,33 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
     aprior = np.full(M, 0.001)
     boundaries = np.stack([np.full(M, wl["rhomin"]),
                            np.full(M, wl["rhomax"])], axis=1)
+    cg_info = None
+    if cg_warm_start:
+        import jax.numpy as jnp
+
+        from gravinv3dhmc_tpu.inversion.reginv import cg_device
+
+        t_cg = time.time()
+        cg = cg_device(module, dobs, (wl["rhomin"], wl["rhomax"]),
+                       regularization=regularization, beta=beta, q=0.7,
+                       maxk=cg_maxk, dtype=jnp.float32)
+        # CG-point data fit, mean-removed like the HMC misfit — scalars
+        dpre_cg = module.predict(cg["mw"])
+        dobs_d = jnp.asarray(dobs, jnp.float32)
+        r = ((dpre_cg - jnp.mean(dpre_cg))
+             - (dobs_d - jnp.mean(dobs_d)))
+        cg_info = {
+            "n_iters": cg["n_iters"],
+            "elapsed_s": time.time() - t_cg,
+            "RMSD": float(jnp.sqrt(jnp.mean(r ** 2))),
+            "data_hist": [round(float(v), 3) for v in cg["data_hist"]],
+            "regul_hist_last": float(cg["regul_hist"][-1]),
+        }
+        if verbose:
+            print(f"CG warm start: {cg['n_iters']} iters, "
+                  f"RMSD {cg_info['RMSD']:.2f}, "
+                  f"{cg_info['elapsed_s']:.1f}s", flush=True)
+        initial = cg["m"]  # device (M,) — stays on device end to end
     if sampler == "hmc":
         if temperature is not None:
             raise ValueError(
@@ -396,7 +431,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             chunk_size=chunk_size, verbose=verbose,
             write_files=save_folder is not None and transfer_samples,
             adapt_step_size=adapt_step_size, adapt_mass=adapt_mass,
-            adapt_chunks=adapt_chunks, transfer_samples=transfer_samples)
+            adapt_chunks=adapt_chunks, transfer_samples=transfer_samples,
+            store_mode=store_mode)
         if not transfer_samples:
             # device-resident finish: stats on device, scalars only
             out, _ = device_posterior_summary(module, stats, dobs,
@@ -407,6 +443,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
                        accept_ratio=stats["accept_ratio"],
                        step_size=stats["step_size"],
                        adapted_mass=stats.get("adapted_mass", False))
+            if cg_info:
+                out["cg"] = cg_info
             if out.get("ess_median") is not None:
                 out["ess_per_s_median"] = (out["ess_median"]
                                            / max(stats["elapsed_s"], 1e-9))
@@ -462,6 +500,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
                sampling_s=stats["elapsed_s"],
                grad_evals_per_s=stats["grad_evals_per_s"],
                accept_ratio=stats["accept_ratio"])
+    if cg_info:
+        out["cg"] = cg_info
     # ESS/s over a parameter subsample (north-star metric, BASELINE.json)
     n_common = chains.shape[1]
     if n_common >= 8:

@@ -92,10 +92,22 @@ def build_realdata_problem(verbose=False):
 def realdata_stage(stage):
     """North-star workload measurement (BASELINE.json: >=10x multi-chain
     samples/s on the realdata model). Returns a result dict; never raises
-    (the primary bench line must land regardless)."""
+    (the primary bench line must land regardless).
+
+    Statistically honest since round 4: the sampler runs the full
+    production path — windowed warmup (dual-averaging dt + Welford
+    diagonal metric) targeting accept 0.8, chain-mode storage, ESS
+    computed on device — and the headline comparison is OUR ESS/s vs the
+    reference's samples/s. The reference ran at accept 1.0 with unknown
+    autocorrelation (example/realdata/logout_T1.txt), so its samples/s is
+    an UPPER bound on its ESS/s, making `vs_baseline_ess` a lower bound
+    on the true speedup. Round-3's 50.1x claim counted near-duplicate
+    accepted states at accept 0.030 — not comparable; this one is.
+    """
     nchains = int(os.environ.get("BENCH_REALDATA_NCHAINS", "256"))
     chunk_size = int(os.environ.get("BENCH_REALDATA_CHUNK", "64"))
-    n_timed = int(os.environ.get("BENCH_REALDATA_CHUNKS", "2"))
+    nsamples = int(os.environ.get("BENCH_REALDATA_NSAMPLES", "256"))
+    adapt_chunks = int(os.environ.get("BENCH_REALDATA_ADAPT_CHUNKS", "12"))
     dt = float(os.environ.get("BENCH_REALDATA_DT", "0.005"))
     t_build = time.time()
     module, dobs = build_realdata_problem()
@@ -103,96 +115,59 @@ def realdata_stage(stage):
     stage(f"realdata problem built ({build_s:.1f}s, "
           f"{dobs.size}x{module.n_active})")
     M = module.n_active
-    wdiag = module.wdiag
+    wdiag = np.asarray(module.wdiag)
     # reference run config: Damping, L in [5, 40], frozen water cells
     # (example/realdata/main_real.py:43; logout_T1.txt header)
-    initial = wdiag * np.full(M, 0.01)
-    aprior = wdiag * np.full(M, 0.001)
-    low = wdiag * np.full(M, -0.5)
-    high = wdiag * np.full(M, 0.5)
-    potential_fn = module.make_potential(
-        aprior, low, high, constraint="mandatory",
-        regularization="Damping", dtype=jnp.float32)
-    fused_traj = None
-    fused_mode = "off"
-    if os.environ.get("BENCH_FUSED", "1") != "0":
-        from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
-            make_fused_trajectory,
-        )
-        fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
-                 np.asarray(module.grav_fix), aprior,
-                 wdiag * wdiag, low, high)
-        # f32 matvec by default: the tesseroid kernel's dynamic range
-        # makes bf16 trajectory noise break H conservation (measured:
-        # accept 0.038 bf16 vs ~0.99 f32 at dt=0.005) — a fast sampler
-        # that rejects everything is not sampling
-        rd_dtype = jnp.dtype(os.environ.get("BENCH_REALDATA_MATVEC_DTYPE",
-                                            "float32"))
-        for tile_c in (64, 32):
-            try:
-                fused_traj = make_fused_trajectory(
-                    *fargs, regularization="Damping", tile_c=tile_c,
-                    matvec_dtype=rd_dtype)
-                # TWO tiles: grid>1 turns on block double-buffering, which
-                # costs extra scoped VMEM a 1-tile probe never exercises
-                probe = jnp.zeros((2 * tile_c, M), jnp.float32)
-                out = fused_traj(probe, probe, jnp.int32(3),
-                                 jnp.float32(0.005), jnp.float32(0.05))
-                jax.block_until_ready(out[0])
-                fused_mode = f"trajectory(tile_c={tile_c})"
-                break
-            except Exception as e:  # noqa: BLE001
-                print(f"WARNING: realdata fused trajectory "
-                      f"(tile_c={tile_c}) unavailable: "
-                      f"{type(e).__name__}: {str(e)[:160]}",
-                      file=sys.stderr, flush=True)
-                fused_traj = None
-    stage(f"realdata potential ready (fused={fused_mode})")
-    nsamples = 64
-    run_chunk = hmc.make_chunk_sampler(
-        potential_fn, dt=dt, Lmin=5, Lmax=40, Sigma=0.001, low=low,
-        high=high, constraint="mandatory", alpha=0.05,
-        chunk_size=chunk_size, nsamples=nsamples, ndraws=0,
-        wdiag_inv=module.wdiag_inv, data_size=dobs.size,
-        dtype=jnp.float32, shared_L=True, fused_trajectory=fused_traj)
-    wdiag_d = jnp.asarray(wdiag, jnp.float32)
-    x = jnp.broadcast_to(0.01 * wdiag_d, (nchains, M)).astype(jnp.float32)
-    U, g, (_, u_data, u_model) = potential_fn(x, 0.05)
-    carry = (x, U, g, u_data, u_model,
-             jnp.zeros(nchains, jnp.int32),
-             jnp.zeros((nchains, nsamples, M), jnp.float32),
-             jnp.zeros((nchains, nsamples, 7), jnp.float32))
-    base_key = _base_key()
-    carry, stats = run_chunk(carry, base_key, 0, potential_fn.params)
-    jax.block_until_ready(carry[0])
-    stage("realdata warmup chunk compiled + ran")
-    t0 = time.time()
-    ge_acc = jnp.zeros((), jnp.float32)
-    ac_acc = jnp.zeros((), jnp.float32)
-    iters = 0
-    for i in range(1, n_timed + 1):
-        carry, stats = run_chunk(carry, base_key, i, potential_fn.params)
-        ge_acc = ge_acc + jnp.sum(stats[..., 4])
-        ac_acc = ac_acc + jnp.sum(stats[..., 0])
-        iters += stats.shape[0]
-    jax.block_until_ready(ge_acc)
-    elapsed = time.time() - t0
-    grad_evals = float(ge_acc)  # scalar d2h
-    accepts = float(ac_acc)
-    stage(f"realdata timed chunks done ({elapsed:.1f}s)")
-    samples_per_s = accepts / elapsed
+    chain = hmc.HamiltonianMC(module)
+    chain.dt = dt
+    chain.Lrange = [5, 40]
+    chain.Sigma = 0.001
+    chain.seed = 100
+    chain.RegulFactor = 0.05
+    chain.regularization = "Damping"
+    chain.nchains = nchains
+    chain.chunk_size = chunk_size
+    chain.verbose = os.environ.get("BENCH_VERBOSE", "0") == "1"
+    chain.write_files = False
+    chain.shared_L = True
+    chain.use_fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    chain.adapt_step_size = True
+    chain.adapt_mass = True
+    chain.adapt_target = 0.8
+    chain.adapt_chunks = adapt_chunks
+    chain.store_mode = "chain"
+    chain.transfer_samples = False  # ESS on device; scalars only
+    chain.low = wdiag * np.full(M, -0.5)
+    chain.high = wdiag * np.full(M, 0.5)
+    chain.initial_model = wdiag * np.full(M, 0.01)
+    chain.aprior_model = wdiag * np.full(M, 0.001)
+    chain.dobs = np.asarray(dobs, np.float64)
+    stage("realdata sampler configured (adaptive warmup on)")
+    out = chain.sample(nsamples, 0)
+    fused_mode = getattr(chain, "_fused_mode", None)
+    stage(f"realdata adaptive run done ({out['elapsed_s']:.1f}s, "
+          f"accept {out['accept_ratio']:.2f})")
+    ess_per_s = out.get("ess_per_s_median") or float("nan")
+    samples_per_s = nchains * nsamples / out["elapsed_s"]
     return {
         "problem": [int(dobs.size), int(M)],
         "kernel_build_s": round(build_s, 2),
         "nchains": nchains,
-        "fused_pallas_step": fused_mode,
-        "grad_evals_per_s": round(grad_evals / elapsed, 1),
+        "nsamples": nsamples,
+        "fused_pallas_step": fused_mode or "auto",
+        "grad_evals_per_s": round(out["grad_evals_per_s"], 1),
         "samples_per_s": round(samples_per_s, 1),
-        "accept_ratio": round(accepts / max(iters * nchains, 1), 4),
-        "vs_baseline_samples_per_s": round(
-            samples_per_s / BASELINE_REALDATA_SAMPLES_PER_S, 1),
+        "accept_ratio": round(out["accept_ratio"], 4),
+        "step_size": out["step_size"],
+        "adapted_mass": out["adapted_mass"],
+        "ess_per_s_median": round(ess_per_s, 2),
+        "elapsed_s": round(out["elapsed_s"], 1),
+        # ESS/s vs the reference's samples/s (>= its ESS/s): lower bound
+        "vs_baseline_ess": round(
+            ess_per_s / BASELINE_REALDATA_SAMPLES_PER_S, 1),
         "vs_baseline_grad_evals": round(
-            grad_evals / elapsed / BASELINE_REALDATA_GRAD_EVALS_PER_S, 1),
+            out["grad_evals_per_s"] / BASELINE_REALDATA_GRAD_EVALS_PER_S,
+            1),
     }
 
 
@@ -323,7 +298,11 @@ def main():
 
     t0 = time.time()
     # accumulate counters on device; exactly two scalar transfers at the
-    # end (the tunnelled link stalls on anything bigger)
+    # end (the tunnelled link stalls on anything bigger). The completion
+    # barrier is a SCALAR READBACK inside the timed window:
+    # block_until_ready returns at dispatch on the axon tunnel (measured
+    # in round 4 — an 800-iteration matmul loop "completed" in 0.1 ms),
+    # so timing without the readback under-measures by up to one chunk.
     ge_acc = jnp.zeros((), jnp.float32)
     ac_acc = jnp.zeros((), jnp.float32)
     stat_count = 0
@@ -332,7 +311,17 @@ def main():
         ge_acc = ge_acc + jnp.sum(stats[..., 4])
         ac_acc = ac_acc + jnp.sum(stats[..., 0])
         stat_count += stats.shape[0] * stats.shape[1]
-    jax.block_until_ready(ge_acc)
+    # the scalar d2h can wedge the tunnel entirely — read under a watchdog
+    result_box = {}
+
+    def _read_counters():
+        result_box["ge"] = int(ge_acc)
+        result_box["ac"] = float(ac_acc)
+
+    import threading
+    reader = threading.Thread(target=_read_counters, daemon=True)
+    reader.start()
+    reader.join(timeout=float(os.environ.get("BENCH_D2H_TIMEOUT", "120")))
     elapsed = time.time() - t0
     stage(f"timed chunks done ({elapsed:.1f}s)")
 
@@ -345,33 +334,20 @@ def main():
         sub = np.random.RandomState(0).choice(M, size=min(M, 128),
                                               replace=False)
         ess_med = jnp.median(ess_jax(carry[6][:, :, jnp.asarray(sub)]))
-        jax.block_until_ready(ess_med)
+        result_box["ess"] = float(ess_med)
     except Exception as e:  # noqa: BLE001 — diagnostics must not kill bench
         print(f"WARNING: on-device ESS failed: {e!r:.200}",
               file=sys.stderr, flush=True)
-        ess_med = None
 
-    # exact counters need a (tiny) device->host read; the tunnelled link
-    # can wedge on d2h entirely, so read them under a watchdog and fall
-    # back to the expectation E[L] = (Lmin+Lmax)/2 = 12.5 of the known
-    # uniform trajectory-length distribution (identical in expectation)
-    result_box = {}
-
-    def _read():
-        result_box["ge"] = int(ge_acc)
-        result_box["ac"] = float(ac_acc)
-        if ess_med is not None:
-            result_box["ess"] = float(ess_med)
-
-    import threading
-    reader = threading.Thread(target=_read, daemon=True)
-    reader.start()
-    reader.join(timeout=float(os.environ.get("BENCH_D2H_TIMEOUT", "120")))
     if "ge" in result_box:
         grad_evals = result_box["ge"]
         accept_sum = result_box["ac"]
         count_mode = "exact"
     else:
+        # the watchdog timed out: fall back to the expectation
+        # E[L] = (Lmin+Lmax)/2 = 12.5 of the known uniform
+        # trajectory-length distribution (identical in expectation);
+        # elapsed then covers dispatch only — flag it
         grad_evals = int(stat_count * 12.5)
         accept_sum = float("nan")
         count_mode = "expected (device->host link stalled)"

@@ -451,6 +451,14 @@ class HamiltonianMC:
         #: is always safe. Compatible with ``adapt_mass`` (the diagonal
         #: inverse mass rides in the kernels as a resident vector).
         self.use_fused = False
+        #: matvec dtype for the fused kernels: None = the kernel default
+        #: (bf16 hi/lo split when the f32 matrices exceed VMEM, plain
+        #: bf16 otherwise). Set jnp.float32 to force full f32 residency
+        #: — problems like realdata need f32 H conservation (bf16 alone
+        #: collapses the accept rate; bench.py round-3 note).
+        self.fused_matvec_dtype = None
+        #: set by sample(): which fused path the probe selected
+        self._fused_mode = "off"
         #: sample-storage discipline (see :func:`make_chunk_sampler`):
         #: 'accepted' = reference parity (only accepted states stored, per
         #: chain); 'chain' = textbook MH estimator (post-accept state
@@ -502,6 +510,8 @@ class HamiltonianMC:
         from ..ops.leapfrog_pallas import (
             make_fused_step,
             make_fused_trajectory,
+            traj_vmem_estimate,
+            traj_vmem_feasible,
         )
         gfix = (np.asarray(self.model.grav_fix)
                 if getattr(self.model, "fixed", False) else None)
@@ -510,9 +520,22 @@ class HamiltonianMC:
                  self.aprior_model, self.model.wdiag * self.model.wdiag,
                  self.low, self.high)
         fkw = dict(regularization=self.regularization, beta=self.beta)
+        if self.fused_matvec_dtype is not None:
+            fkw["matvec_dtype"] = self.fused_matvec_dtype
+        mv_dtype = self.fused_matvec_dtype or jnp.bfloat16
         M = self.initial_model.shape[0]
+        D = self.dobs.shape[0]
         for tile_c in (128, 64, 32):
             if self.nchains % tile_c != 0:
+                continue
+            # VMEM pre-check: skip tiles whose resident set cannot fit by
+            # arithmetic instead of burning a doomed remote compile
+            if not traj_vmem_feasible(D, M, tile_c, mv_dtype):
+                if self.verbose:
+                    need = traj_vmem_estimate(D, M, tile_c, mv_dtype)
+                    print(f"fused Pallas trajectory (tile_c={tile_c}) "
+                          f"skipped: needs ~{need >> 20} MB VMEM "
+                          f"(cap 120 MB)", flush=True)
                 continue
             try:
                 traj = make_fused_trajectory(*fargs, tile_c=tile_c, **fkw)
@@ -523,6 +546,7 @@ class HamiltonianMC:
                            jnp.asarray(self.dt, self.dtype),
                            jnp.asarray(self.RegulFactor, self.dtype))
                 jax.block_until_ready(out[0])
+                self._fused_mode = f"trajectory(tile_c={tile_c})"
                 return None, traj
             except Exception as e:  # noqa: BLE001 — try the next tile
                 if self.verbose:
@@ -534,12 +558,14 @@ class HamiltonianMC:
             out = fused(probe, probe, jnp.asarray(self.dt, self.dtype),
                         jnp.asarray(self.RegulFactor, self.dtype))
             jax.block_until_ready(out[0])
+            self._fused_mode = "per-step"
             return fused, None
         except Exception as e:  # noqa: BLE001 — fall back on any rejection
             if self.verbose:
                 print(f"fused Pallas step unavailable "
                       f"({type(e).__name__}); using the XLA path",
                       flush=True)
+            self._fused_mode = "off"
             return None, None
 
     def sample(self, nsamples, ndraws, max_chunks=None, callback=None,
@@ -567,10 +593,17 @@ class HamiltonianMC:
             constraint=self.constraint, log_factor=self.log_factor,
             regularization=self.regularization, beta=self.beta, dtype=dtype)
 
-        # convert m-domain init to the optimisation variable x
-        mw0 = np.broadcast_to(self.initial_model, (C, M)).astype(np.float64)
+        # convert m-domain init to the optimisation variable x. A
+        # device-resident initial model (e.g. the cg_device warm start at
+        # global scale) stays on device — broadcasting via numpy would
+        # pull it over the tunnelled link.
+        xp = jnp if isinstance(self.initial_model, jax.Array) else np
+        mw0 = xp.broadcast_to(self.initial_model, (C, M))
+        if xp is np:
+            mw0 = mw0.astype(np.float64)
         if self.constraint == "logarithmic":
-            x0 = mw_to_logistic(mw0, self.low, self.high, self.log_factor)
+            x0 = mw_to_logistic(mw0, self.low, self.high, self.log_factor,
+                                xp=xp)
         elif self.constraint in ("mandatory", "reflective"):
             x0 = mw0
         else:
@@ -973,14 +1006,20 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
 
     boundaries = np.asarray(boundaries, dtype=np.float64)
     # device-resident weighting (kernel_device path) scales on device —
-    # np.asarray here would be a stalling d2h over a tunnelled link
+    # np.asarray here would be a stalling d2h over a tunnelled link;
+    # likewise a device-resident initial model (cg_device warm start)
     wdiag = (model.wdiag if isinstance(model.wdiag, jax.Array)
              else np.asarray(model.wdiag))
+
+    def _as_vec(v):
+        return v if isinstance(v, jax.Array) \
+            else np.asarray(v, dtype=np.float64)
+
     # m-domain -> mw-domain (reference: inversion/hmc.py:393-401)
     chain.low = wdiag * boundaries[:, 0]
     chain.high = wdiag * boundaries[:, 1]
-    chain.initial_model = wdiag * np.asarray(initial_model, dtype=np.float64)
-    chain.aprior_model = wdiag * np.asarray(aprior_model, dtype=np.float64)
+    chain.initial_model = wdiag * _as_vec(initial_model)
+    chain.aprior_model = wdiag * _as_vec(aprior_model)
     chain.dobs = np.asarray(dobs, dtype=np.float64)
 
     return chain.sample(nsamples, ndraws)

@@ -43,63 +43,78 @@ from .potential import GravMagModule
 
 def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
                   regularization, beta, q, maxk, rhomin, rhomax,
-                  stop_mode, dtype, aprior_mw=None, bootstrap_ms=False):
+                  stop_mode, dtype, aprior_mw=None, bootstrap_ms=False,
+                  as_args=False):
     """Jitted CG solver over (optionally weighted) rows.
 
-    Returns solve(mw0, row_weights) -> (mw_final, data_hist, model_hist,
-    regul_hist, n_iters). ``row_weights`` are data-row multiplicities
-    (ones = plain CG).
+    Returns solve(mw0, row_weights[, arrs]) -> (mw_final, data_hist,
+    model_hist, regul_hist, n_iters). ``row_weights`` are data-row
+    multiplicities (ones = plain CG).
+
+    ``as_args=True`` returns a solver taking the large arrays as a
+    third ``arrs`` pytree argument ``(Aw, dobs, wdiag, wdiag_inv,
+    aprior_mw)`` instead of closure constants — REQUIRED for
+    device-resident kernels: a closure-captured jax.Array becomes a jit
+    constant embedded in the executable (gigabytes shipped over the
+    tunnelled link per compile; CLAUDE.md build note).
     """
     from ..ops import fd
 
-    Aw = jnp.asarray(Aw, dtype)
-    dobs = jnp.asarray(dobs, dtype)
-    wdiag = jnp.asarray(wdiag, dtype)
-    wdiag_inv = jnp.asarray(wdiag_inv, dtype)
-    wm_sq = wdiag * wdiag
-    apr = (jnp.asarray(aprior_mw, dtype) if aprior_mw is not None
-           else jnp.zeros(Aw.shape[1], dtype))
-    dsize = Aw.shape[0]
-    msize = Aw.shape[1]
+    if as_args:
+        const_arrs = None
+        dsize, msize = Aw.shape
+    else:
+        Aw_c = jnp.asarray(Aw, dtype)
+        const_arrs = (Aw_c, jnp.asarray(dobs, dtype),
+                      jnp.asarray(wdiag, dtype),
+                      jnp.asarray(wdiag_inv, dtype),
+                      (jnp.asarray(aprior_mw, dtype)
+                       if aprior_mw is not None
+                       else jnp.zeros(Aw_c.shape[1], dtype)))
+        dsize, msize = Aw_c.shape
     beta = float(beta)
     q = float(q)
     act = jnp.asarray(active3d) if active3d is not None else None
 
-    def data_value(mw, c):
-        r = Aw @ mw - dobs
-        return jnp.sum(c * r * r)
+    def solve(mw0, c, arrs=None):
+        Aw, dobs, wdiag, wdiag_inv, apr = \
+            const_arrs if arrs is None else arrs
+        wm_sq = wdiag * wdiag
 
-    def data_grad(mw, c):
-        r = Aw @ mw - dobs
-        return 2.0 * ((c * r) @ Aw)
+        def data_value(mw, c):
+            r = Aw @ mw - dobs
+            return jnp.sum(c * r * r)
 
-    def model_value(mw):
-        dm = mw - apr
-        if bootstrap_ms:
-            # bootstrap variant: no prior, beta squared
-            # (reference: inversion/reginv.py:600-606)
-            m2 = mw * mw
-            return jnp.sum(wm_sq * m2 / (m2 + beta ** 2))
-        if regularization == "MS":
-            dm2 = dm * dm
-            return jnp.sum(wm_sq * dm2 / (dm2 + beta))
-        if regularization == "Damping":
-            return jnp.sum(dm * dm)
-        if regularization == "Smoothness":
-            return fd.smoothness_value(dm, mshape, jnp, act)
-        return fd.tv_value(dm, mshape, beta, jnp, act)
+        def data_grad(mw, c):
+            r = Aw @ mw - dobs
+            return 2.0 * ((c * r) @ Aw)
 
-    model_grad = jax.grad(model_value)
+        def model_value(mw):
+            dm = mw - apr
+            if bootstrap_ms:
+                # bootstrap variant: no prior, beta squared
+                # (reference: inversion/reginv.py:600-606)
+                m2 = mw * mw
+                return jnp.sum(wm_sq * m2 / (m2 + beta ** 2))
+            if regularization == "MS":
+                dm2 = dm * dm
+                return jnp.sum(wm_sq * dm2 / (dm2 + beta))
+            if regularization == "Damping":
+                return jnp.sum(dm * dm)
+            if regularization == "Smoothness":
+                return fd.smoothness_value(dm, mshape, jnp, act)
+            return fd.tv_value(dm, mshape, beta, jnp, act)
 
-    def project(mw):
-        m = jnp.clip(mw * wdiag_inv, rhomin, rhomax)
-        return m * wdiag
+        model_grad = jax.grad(model_value)
 
-    def weighted_norm_sq(v, c):
-        av = Aw @ v
-        return jnp.sum(c * av * av)
+        def project(mw):
+            m = jnp.clip(mw * wdiag_inv, rhomin, rhomax)
+            return m * wdiag
 
-    def solve(mw0, c):
+        def weighted_norm_sq(v, c):
+            av = Aw @ v
+            return jnp.sum(c * av * av)
+
         mw0 = jnp.asarray(mw0, dtype)
         c = jnp.asarray(c, dtype)
         # ---- k = 0: steepest descent with alpha = 0 -----------------------
@@ -154,6 +169,54 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
         return mw_fin, data_hist, model_hist, regul_hist, n_iters
 
     return solve
+
+
+def cg_device(module, dobs, boundary, regularization="Damping", beta=0.01,
+              q=0.7, maxk=200, initial=None, aprior=None,
+              dtype=jnp.float32):
+    """Device-resident CG on an EXISTING :class:`GravMagModule`.
+
+    The whole-Earth warm-start path: the reference's own workflow is "CG
+    for the map, HMC for the uncertainty around it" (reference:
+    inversion/reginv.py:357-491 is the production inversion; HMC samples
+    its neighborhood), and at the 7381x72000 global scale the kernel
+    lives on the accelerator (kernel_device=True), so the CG must run
+    against the module's device kernel with every large array threaded
+    as a jit ARGUMENT — not rebuilt from a host matrix like
+    :class:`ConjugateGradient`.
+
+    Returns a dict: ``mw`` (weighted-domain solution, device), ``m``
+    (density model, device), small host-side ``data_hist`` /
+    ``model_hist`` / ``regul_hist`` / ``n_iters``. Only the histories
+    (O(maxk) floats) cross the device link.
+    """
+    arrs_mod = module.device_arrays(dtype)
+    Aw = arrs_mod["Aw"]
+    D, M = Aw.shape
+    wdiag = jnp.asarray(module.wdiag, dtype)
+    wdiag_inv = jnp.asarray(module.wdiag_inv, dtype)
+    dobs_d = jnp.asarray(dobs, dtype)
+    rhomin, rhomax = boundary[0], boundary[1]
+    apr_m = (jnp.asarray(aprior, dtype) if aprior is not None
+             else jnp.zeros(M, dtype))
+    mw0 = (wdiag * jnp.asarray(initial, dtype) if initial is not None
+           else jnp.zeros(M, dtype))
+    active3d = getattr(module, "_active3d", None)
+    solve = _make_cg_core(
+        Aw, None, None, None, module.mshape, active3d, regularization,
+        beta, q, maxk, rhomin, rhomax, "normalized", dtype, as_args=True)
+    arrs = (Aw, dobs_d, wdiag, wdiag_inv, wdiag * apr_m)
+    mw_fin, d_h, m_h, r_h, n_it = jax.jit(solve)(
+        mw0, jnp.ones(D, dtype), arrs)
+    n_it = int(n_it)  # scalar d2h — also the completion barrier
+    return {
+        "mw": mw_fin,
+        "m": mw_fin * wdiag_inv,
+        "data_hist": np.asarray(d_h, np.float64)[:n_it],
+        "model_hist": np.asarray(m_h, np.float64)[:n_it],
+        "regul_hist": np.asarray(r_h, np.float64)[:n_it],
+        "n_iters": n_it,
+    }
 
 
 class ConjugateGradient:

@@ -42,6 +42,28 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+# Mosaic scoped-VMEM we are willing to request; v5e physical VMEM is
+# 128 MB — leave headroom for the compiler's own scratch
+VMEM_CAP_BYTES = 120 << 20
+
+
+def traj_vmem_estimate(D, M, tile_c, matvec_dtype=jnp.bfloat16):
+    """Approximate scoped-VMEM bytes the fused trajectory kernel needs —
+    the same arithmetic its vmem_limit uses. Callers use this to SKIP
+    infeasible tile sizes by arithmetic instead of burning ~12 s per
+    doomed remote compile (round-3 verdict item 7: the realdata f32
+    probe spent 24 s on two tiles that could never fit)."""
+    Mp = _round_up(M, LANE)
+    Dp = _round_up(D, LANE)
+    mat_bytes = 2 * Dp * Mp * jnp.dtype(matvec_dtype).itemsize
+    tile_bytes = 30 * tile_c * Mp * 4
+    return int(2 * mat_bytes + tile_bytes + (1 << 24))
+
+
+def traj_vmem_feasible(D, M, tile_c, matvec_dtype=jnp.bfloat16):
+    return traj_vmem_estimate(D, M, tile_c, matvec_dtype) <= VMEM_CAP_BYTES
+
+
 def _step_kernel(scal_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref, fix_ref,
                  dmask_ref, aprior_ref, wmsq_ref, low_ref, high_ref,
                  im_ref, x_out, p_out, U_out, ud_out, um_out, *,
@@ -257,11 +279,10 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     # the dynamic-trip-count loop keeps far more temporaries live than the
     # straight-line step kernel (measured: 45.8 MB at tile_c=8 on v5e, i.e.
     # ~2x the resident matrices + ~30 buffers of loop state) — budget
-    # generously and cap below the hardware size; callers probe-compile
-    # and step down tile_c on failure
-    mat_bytes = 2 * Dp * Mp * jnp.dtype(matvec_dtype).itemsize
-    tile_bytes = 30 * tile_c * Mp * 4
-    vmem_limit = min(int(2 * mat_bytes + tile_bytes + (1 << 24)), 120 << 20)
+    # generously and cap below the hardware size; callers pre-check
+    # traj_vmem_feasible and step down tile_c on probe failure
+    vmem_limit = min(traj_vmem_estimate(D, M, tile_c, matvec_dtype),
+                     VMEM_CAP_BYTES)
 
     def traj(x, p, L, eps, alpha, params=None, inv_mass=None):
         prm = fused_params if params is None else params

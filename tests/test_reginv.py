@@ -140,6 +140,31 @@ def test_cg_recovers_body(cg_problem):
     assert model_inv.min() >= -1e-9
 
 
+def test_cg_device_matches_host_cg(cg_problem):
+    """cg_device (arrays threaded as jit args, the global warm-start
+    path) must reproduce ConjugateGradient.CG up to f32/f64 on the same
+    module."""
+    from gravinv3dhmc_tpu.inversion.reginv import cg_device
+
+    inv, dobs, rho = cg_problem
+    M = inv.msize
+    maxk = 30
+    model_inv, _, d_h, m_h, r_h = inv.CG(
+        np.zeros(M), np.zeros(M), (0.0, 1.0), regularization="MS",
+        beta=0.001, q=0.7, maxk=maxk)
+    out = cg_device(inv._mod, dobs, (0.0, 1.0), regularization="MS",
+                    beta=0.001, q=0.7, maxk=maxk, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(out["m"], np.float64), model_inv,
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(out["data_hist"], d_h, rtol=1e-6)
+    assert out["n_iters"] == len(d_h)
+    # f32 (the global-scale dtype) still recovers the same body
+    out32 = cg_device(inv._mod, dobs, (0.0, 1.0), regularization="MS",
+                      beta=0.001, q=0.7, maxk=maxk, dtype=jnp.float32)
+    corr = np.corrcoef(np.asarray(out32["m"], np.float64), model_inv)[0, 1]
+    assert corr > 0.99
+
+
 def test_bootstrap_weights_equal_explicit_resampling(cg_problem):
     inv, dobs, rho = cg_problem
     bounds = (0, 1000, 0, 1500, 0, 500)

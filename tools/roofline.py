@@ -14,15 +14,21 @@ timing, on the real device, each layer of the stack at the flagship
      (store_mode none / chain / accepted) — the difference isolates the
      storage cost that round-3 left as a 7.4 ms "unaccounted" bucket.
 
-Timing methodology: every loop measurement takes the SLOPE between two
-trip counts n1 < n2 chosen so the time difference is far above the
-tunnelled link's dispatch jitter (the round-3 baseline-subtraction at
-n=30 vs n=0 measured 1751 TFLOPS on a 197 TFLOP chip — pure noise).
-The matmul ceiling is sanity-checked against the hardware peak.
+Timing methodology — two rules learned the hard way on the tunnelled
+axon platform:
 
-All loops run under jit with device-resident carries; only scalar
-timings cross the tunnelled link. Writes tools/roofline.json and prints
-one JSON line.
+* ``jax.block_until_ready`` DOES NOT block for real here (it returns
+  after dispatch, not completion — measured: an 800-iteration matmul
+  loop "completed" in 0.1 ms). Every measurement ends with a SCALAR
+  READBACK of the output, the only reliable completion barrier (and
+  tunnel-safe: one float crosses the link).
+* every loop measurement takes the SLOPE between two trip counts
+  n1 < n2 so the constant dispatch+readback overhead cancels (the
+  round-3 baseline-subtraction at n=30 vs n=0 measured 1751 TFLOPS on a
+  197 TFLOP chip — pure noise). The matmul ceiling is sanity-checked
+  against the hardware peak.
+
+Writes tools/roofline.json and prints one JSON line.
 
 Usage:  python tools/roofline.py          (run on the TPU)
 Knobs:  ROOFLINE_NCHAINS (1024), ROOFLINE_REPS (200), ROOFLINE_TILE_C
@@ -52,13 +58,20 @@ from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_trajectory
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
+def force(out):
+    """Completion barrier: scalar readback of the first output leaf
+    (block_until_ready returns at DISPATCH on the axon tunnel)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def timed(fn, *args, reps=3):
-    """Median wall time of fn(*args) with block_until_ready."""
+    """Median wall time of fn(*args) with a scalar-readback barrier."""
     ts = []
     for _ in range(reps):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        force(out)
         ts.append(time.time() - t0)
     return float(np.median(ts)), out
 
@@ -114,7 +127,7 @@ def main():
         return jax.lax.fori_loop(0, n, body, xp)
 
     pair_s = slope_time(matmul_pair_loop,
-                        lambda n: (xp0, A, At, n), reps // 4, reps)
+                        lambda n: (xp0, A, At, n), reps, 4 * reps)
     matmul_ge_per_s = C / pair_s
     matmul_tflops = C * flops_per_step / pair_s / 1e12
     matmul_sane = matmul_tflops <= 1.05 * V5E_PEAK_BF16_TFLOPS
@@ -201,33 +214,46 @@ def main():
             chunk_size=chunk_size, nsamples=nsamples, ndraws=0,
             wdiag_inv=module.wdiag_inv, data_size=D, dtype=jnp.float32,
             shared_L=True, fused_trajectory=traj, store_mode=store_mode)
-        U, g, (_, u_data, u_model) = potential_fn(x0, 1.0)
-        carry = (x0, U, g, u_data, u_model, jnp.zeros(C, jnp.int32),
+        # fresh chain state per mode: run_chunk DONATES its carry, so the
+        # previous mode's call invalidated any shared x0 (reusing it made
+        # jit lowering fetch a deleted buffer -> opaque TPU backend error)
+        x_c = jnp.broadcast_to(jnp.asarray(0.5 * wdiag, jnp.float32),
+                               (C, M)).astype(jnp.float32)
+        U, g, (_, u_data, u_model) = potential_fn(x_c, 1.0)
+        carry = (x_c, U, g, u_data, u_model, jnp.zeros(C, jnp.int32),
                  jnp.zeros((C, nsamples, M), jnp.float32),
                  jnp.zeros((C, nsamples, 7), jnp.float32))
         carry, stats = run_chunk(carry, key, 0, potential_fn.params)
-        jax.block_until_ready(carry[0])
+        force(stats)  # warmup/compile barrier
         t0 = time.time()
         n_timed = 3
         ge = jnp.zeros((), jnp.float32)
         for i in range(1, n_timed + 1):
             carry, stats = run_chunk(carry, key, i, potential_fn.params)
             ge = ge + jnp.sum(stats[..., 4])
-        jax.block_until_ready(ge)
+        ge_f = float(ge)  # scalar readback INSIDE the timed window
         dt_s = time.time() - t0
-        return (dt_s / (n_timed * chunk_size),
-                float(ge) / dt_s)
+        return (dt_s / (n_timed * chunk_size), ge_f / dt_s)
 
     chunk = {}
     for mode in ("none", "chain", "accepted"):
         per_iter, ge_per_s = chunk_time(mode)
         chunk[mode] = {"s_per_iter": per_iter,
                        "grad_evals_per_s": ge_per_s}
+        print(f"store_mode={mode}: {per_iter*1e3:.2f} ms/iter, "
+              f"{ge_per_s/1e6:.2f}M grad-evals/s", file=sys.stderr,
+              flush=True)
 
     per_iter_s = chunk["accepted"]["s_per_iter"]
     # E[L]=12.5 -> expected trajectory time per iteration from the fit
     traj_part = a + b * 12.5
-    base_iter = chunk["none"]["s_per_iter"]
+    # NOTE store_mode="none" measures SLOWER than the storing modes: with
+    # the buffers carried through the scan untouched, XLA fails to hoist
+    # them as loop invariants and copies the 1.6 GB per iteration —
+    # updating them in place is cheaper than not touching them. "none" is
+    # a measurement mode only; the budget below is the production (chain)
+    # chunk decomposed against the trajectory-kernel fit.
+    chain_iter = chunk["chain"]["s_per_iter"]
     out = {
         "device": str(jax.devices()[0]),
         "problem": [D, M],
@@ -250,13 +276,16 @@ def main():
         "chunk_by_store_mode": chunk,
         "chunk_s_per_iter": per_iter_s,
         "chunk_grad_evals_per_s": chunk["accepted"]["grad_evals_per_s"],
+        # production (chain-mode) per-iteration budget: the trajectory
+        # kernel from the t(L) fit, plus everything else the sampler
+        # wrapper does (momentum-refresh RNG, H/accept/select, in-place
+        # sample store, scan step) — the isolated rng/accept microbenches
+        # measure ~0 because those ops fuse into neighbours; they are not
+        # separable line items
         "iter_budget": {
             "trajectory(E[L]=12.5)": traj_part,
-            "rng_refresh": rng_s,
-            "accept_select": accept_s,
-            "store(accepted_mode)": per_iter_s - base_iter,
-            "store(chain_mode)": chunk["chain"]["s_per_iter"] - base_iter,
-            "scan+other": base_iter - traj_part - rng_s - accept_s,
+            "wrapper(rng+accept+store+scan)": chain_iter - traj_part,
+            "accepted_mode_extra": per_iter_s - chain_iter,
         },
     }
     with open(os.path.join(os.path.dirname(__file__), "roofline.json"),
