@@ -131,6 +131,11 @@ def realdata_stage(stage):
     chain.write_files = False
     chain.shared_L = True
     chain.use_fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    # f32 matvec: the tesseroid kernel's dynamic range makes bf16
+    # trajectory noise break H conservation (round-3: accept 0.038 bf16
+    # vs ~0.99 f32). f32 fits VMEM via the single-resident-matrix layout.
+    chain.fused_matvec_dtype = jnp.dtype(os.environ.get(
+        "BENCH_REALDATA_MATVEC_DTYPE", "float32"))
     chain.adapt_step_size = True
     chain.adapt_mass = True
     chain.adapt_target = 0.8

@@ -529,8 +529,18 @@ class HamiltonianMC:
             if self.nchains % tile_c != 0:
                 continue
             # VMEM pre-check: skip tiles whose resident set cannot fit by
-            # arithmetic instead of burning a doomed remote compile
-            if not traj_vmem_feasible(D, M, tile_c, mv_dtype):
+            # arithmetic instead of burning a doomed remote compile.
+            # The single-matrix fallback layout halves the matrix VMEM,
+            # but its NT contraction SIGABRTs the Mosaic compiler on this
+            # jax build (layout.h bitwidth check — an uncatchable
+            # in-process crash), so it is opt-in via
+            # GRAVINV_FUSED_SINGLE=1 until fixed; tests cover its
+            # numerics in interpret mode.
+            allow_single = os.environ.get("GRAVINV_FUSED_SINGLE") == "1"
+            feasible = traj_vmem_feasible(D, M, tile_c, mv_dtype) or (
+                allow_single
+                and traj_vmem_feasible(D, M, tile_c, mv_dtype, "single"))
+            if not feasible:
                 if self.verbose:
                     need = traj_vmem_estimate(D, M, tile_c, mv_dtype)
                     print(f"fused Pallas trajectory (tile_c={tile_c}) "
@@ -538,7 +548,9 @@ class HamiltonianMC:
                           f"(cap 120 MB)", flush=True)
                 continue
             try:
-                traj = make_fused_trajectory(*fargs, tile_c=tile_c, **fkw)
+                traj = make_fused_trajectory(
+                    *fargs, tile_c=tile_c,
+                    resident="auto" if allow_single else "dual", **fkw)
                 # two tiles: grid>1 exercises the block double-buffering
                 # VMEM cost a single-tile probe misses
                 probe = jnp.zeros((2 * tile_c, M), self.dtype)
@@ -546,7 +558,9 @@ class HamiltonianMC:
                            jnp.asarray(self.dt, self.dtype),
                            jnp.asarray(self.RegulFactor, self.dtype))
                 jax.block_until_ready(out[0])
-                self._fused_mode = f"trajectory(tile_c={tile_c})"
+                self._fused_mode = (f"trajectory(tile_c={tile_c},"
+                                    f"{traj.resident},"
+                                    f"{jnp.dtype(mv_dtype).name})")
                 return None, traj
             except Exception as e:  # noqa: BLE001 — try the next tile
                 if self.verbose:

@@ -47,21 +47,29 @@ def _round_up(x, m):
 VMEM_CAP_BYTES = 120 << 20
 
 
-def traj_vmem_estimate(D, M, tile_c, matvec_dtype=jnp.bfloat16):
+def traj_vmem_estimate(D, M, tile_c, matvec_dtype=jnp.bfloat16,
+                       resident="dual"):
     """Approximate scoped-VMEM bytes the fused trajectory kernel needs —
     the same arithmetic its vmem_limit uses. Callers use this to SKIP
     infeasible tile sizes by arithmetic instead of burning ~12 s per
     doomed remote compile (round-3 verdict item 7: the realdata f32
-    probe spent 24 s on two tiles that could never fit)."""
+    probe spent 24 s on two tiles that could never fit).
+
+    ``resident='single'`` models the one-matrix layout (forward matvec
+    via a transposed contraction against the same resident A) — half the
+    matrix bytes, the configuration that lets realdata-scale f32 fit."""
     Mp = _round_up(M, LANE)
     Dp = _round_up(D, LANE)
-    mat_bytes = 2 * Dp * Mp * jnp.dtype(matvec_dtype).itemsize
+    n_mats = 1 if resident == "single" else 2
+    mat_bytes = n_mats * Dp * Mp * jnp.dtype(matvec_dtype).itemsize
     tile_bytes = 30 * tile_c * Mp * 4
     return int(2 * mat_bytes + tile_bytes + (1 << 24))
 
 
-def traj_vmem_feasible(D, M, tile_c, matvec_dtype=jnp.bfloat16):
-    return traj_vmem_estimate(D, M, tile_c, matvec_dtype) <= VMEM_CAP_BYTES
+def traj_vmem_feasible(D, M, tile_c, matvec_dtype=jnp.bfloat16,
+                       resident="dual"):
+    return (traj_vmem_estimate(D, M, tile_c, matvec_dtype, resident)
+            <= VMEM_CAP_BYTES)
 
 
 def _step_kernel(scal_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref, fix_ref,
@@ -123,10 +131,8 @@ def _step_kernel(scal_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref, fix_ref,
     um_out[:] = um
 
 
-def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
-                 dmask_ref, aprior_ref, wmsq_ref, low_ref, high_ref,
-                 im_ref, x_out, p_out, g_out, U_out, ud_out, um_out, *,
-                 regularization, beta, matvec_dtype):
+def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, *refs,
+                 regularization, beta, matvec_dtype, single=False):
     """The WHOLE leapfrog trajectory in one kernel invocation.
 
     The chain-state tile (x, p) stays VMEM-resident across all L steps:
@@ -134,14 +140,27 @@ def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
     once per *step* — the step-level kernel (above) still paid
     O(L) passes. L arrives as a runtime SMEM scalar; the body is a
     ``lax.fori_loop`` with a dynamic trip count (supported by Mosaic).
+
+    ``single=True`` drops the transposed resident copy: the forward
+    matvec contracts x's last dim against A's LAST dim (the MXU's native
+    NT layout) so one resident matrix serves both products — half the
+    matrix VMEM, which is what lets realdata-scale f32 fit on-chip.
     """
+    if single:
+        (A_ref, dobs_ref, dmask_ref, aprior_ref, wmsq_ref, low_ref,
+         high_ref, im_ref, x_out, p_out, g_out, U_out, ud_out,
+         um_out) = refs
+    else:
+        (A_ref, At_ref, dobs_ref, dmask_ref, aprior_ref, wmsq_ref,
+         low_ref, high_ref, im_ref, x_out, p_out, g_out, U_out, ud_out,
+         um_out) = refs
     eps = scal_ref[0, 0]
     alpha = scal_ref[0, 1]
     L = L_ref[0]
     low = low_ref[:]
     high = high_ref[:]
     A = A_ref[:]
-    At = At_ref[:]
+    At = None if single else At_ref[:]
     dobs = dobs_ref[:]   # dobs_centered - fix_centered, premerged on host
     dmask = dmask_ref[:]
     aprior = aprior_ref[:]
@@ -173,10 +192,18 @@ def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
         x = xc
         p = jnp.where(hit, -p, p)
         pk = p  # momentum before this step's kick (for g recovery)
-        d = jax.lax.dot_general(
-            x.astype(matvec_dtype), At,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if single:
+            # NT contraction against the one resident matrix: (TC, Mp)
+            # x (Dp, Mp) over the shared last dim -> (TC, Dp)
+            d = jax.lax.dot_general(
+                x.astype(matvec_dtype), A,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            d = jax.lax.dot_general(
+                x.astype(matvec_dtype), At,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         r = (d - dobs) * dmask
         gdata = jax.lax.dot_general(
             r.astype(matvec_dtype), A,
@@ -215,7 +242,7 @@ def _traj_kernel(scal_ref, L_ref, x_ref, p_ref, A_ref, At_ref, dobs_ref,
 def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
                           high, *, regularization="MS", beta=0.001,
                           tile_c=128, matvec_dtype=jnp.bfloat16,
-                          interpret=False):
+                          resident="auto", interpret=False):
     """Build ``traj(x, p_half, L, eps, alpha) -> (x', p', g', U, ud, um)``.
 
     ``p_half`` must already carry the leading half kick (the sampler does
@@ -223,12 +250,24 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     trailing half kick and ``g'`` is the gradient at ``x'`` for the next
     iteration's leading half kick. Semantics per step match
     :func:`make_fused_step` (reference: inversion/hmc.py:105-155).
+
+    ``resident`` picks the matrix layout: ``'dual'`` keeps A and A^T
+    both VMEM-resident (both matmuls in the MXU's NN layout);
+    ``'single'`` keeps only A and runs the forward matvec as an NT
+    contraction — half the matrix VMEM, the layout that fits
+    realdata-scale f32 on-chip. ``'auto'`` chooses dual when it fits the
+    VMEM cap, else single.
     """
     if regularization not in ("MS", "Damping"):
         raise ValueError("fused trajectory supports MS/Damping only")
     D, M = A.shape
     Mp = _round_up(M, LANE)
     Dp = _round_up(D, LANE)
+    if resident == "auto":
+        resident = ("dual" if traj_vmem_feasible(D, M, tile_c,
+                                                 matvec_dtype, "dual")
+                    else "single")
+    single = resident == "single"
 
     def pad2(v, n):
         v = np.asarray(v, np.float32).reshape(1, -1)
@@ -243,7 +282,8 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     A_p = np.zeros((Dp, Mp), np.float32)
     A_p[:D, :M] = (A64 - A64.mean(axis=0)).astype(np.float32)
     A_dev = jnp.asarray(A_p, matvec_dtype)
-    At_dev = jnp.asarray(A_p.T.copy(), matvec_dtype)
+    At_dev = (None if single
+              else jnp.asarray(A_p.T.copy(), matvec_dtype))
     fix = (np.asarray(grav_fix, np.float64) if grav_fix is not None
            else np.zeros(D))
     dobs_merged = (np.asarray(dobs_centered, np.float64)
@@ -263,7 +303,7 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     # at the flagship scale), which the tunnelled link then re-ships on
     # every compile / cache load
     fused_params = {
-        "A": A_dev, "At": At_dev, "dobs": dobs_p,
+        "A": A_dev, "dobs": dobs_p,
         "dmask": dmask_p, "aprior": aprior_p, "wmsq": wmsq_p,
         "low": low_p, "high": high_p,
         # identity metric by default; pass inv_mass= to traj() after
@@ -271,17 +311,20 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
         # low=high pins their x)
         "im": jnp.ones((1, Mp), jnp.float32),
     }
+    if not single:
+        fused_params["At"] = At_dev
 
     kernel = functools.partial(
         _traj_kernel, regularization=regularization, beta=float(beta),
-        matvec_dtype=matvec_dtype)
+        matvec_dtype=matvec_dtype, single=single)
 
     # the dynamic-trip-count loop keeps far more temporaries live than the
     # straight-line step kernel (measured: 45.8 MB at tile_c=8 on v5e, i.e.
     # ~2x the resident matrices + ~30 buffers of loop state) — budget
     # generously and cap below the hardware size; callers pre-check
     # traj_vmem_feasible and step down tile_c on probe failure
-    vmem_limit = min(traj_vmem_estimate(D, M, tile_c, matvec_dtype),
+    vmem_limit = min(traj_vmem_estimate(D, M, tile_c, matvec_dtype,
+                                        resident),
                      VMEM_CAP_BYTES)
 
     def traj(x, p, L, eps, alpha, params=None, inv_mass=None):
@@ -304,6 +347,11 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
         vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
                                                  memory_space=pltpu.VMEM)
         const = lambda shape: vspec(shape, zero_map)
+        mat_specs = [const((Dp, Mp))]                     # A_c (resident)
+        mat_args = [prm["A"]]
+        if not single:
+            mat_specs.append(const((Mp, Dp)))             # A_c^T (resident)
+            mat_args.append(prm["At"])
         out = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
@@ -313,8 +361,7 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
                              memory_space=pltpu.SMEM),
                 vspec((tile_c, Mp), tile_map),            # x
                 vspec((tile_c, Mp), tile_map),            # p
-                const((Dp, Mp)),                          # A_c (resident)
-                const((Mp, Dp)),                          # A_c^T (resident)
+                *mat_specs,
                 const((1, Dp)),                           # dobs_c - fix_c
                 const((1, Dp)),                           # dmask
                 const((1, Mp)),                           # aprior
@@ -342,7 +389,7 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
-        )(scal, Ls, xp, pp, prm["A"], prm["At"], prm["dobs"],
+        )(scal, Ls, xp, pp, *mat_args, prm["dobs"],
           prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
           prm["high"], prm["im"])
         x2, p2, g2, U, ud, um = out
@@ -352,6 +399,7 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     traj.D = D
     traj.M = M
     traj.tile_c = tile_c
+    traj.resident = resident
     traj.params = fused_params
     return traj
 

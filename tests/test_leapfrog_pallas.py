@@ -177,6 +177,39 @@ def test_fused_trajectory_kernel_matches_shared_L(small_module, reg):
 
 
 @pytest.mark.parametrize("reg", ["MS", "Damping"])
+def test_fused_trajectory_single_resident_matches_dual(small_module, reg):
+    """The single-resident-matrix layout (forward matvec as an NT
+    contraction against A, no A^T copy — the realdata-scale f32
+    configuration) must produce identical trajectories to the dual
+    layout at f32."""
+    module, dobs, _ = small_module
+    pot, _, low, high, aprior = _setup(module, dobs, reg)
+    M = module.n_active
+    wdiag = module.wdiag
+    fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
+             None, aprior, wdiag * wdiag, low, high)
+    fkw = dict(regularization=reg, beta=0.001, tile_c=8,
+               matvec_dtype=jnp.float32, interpret=True)
+    dual = make_fused_trajectory(*fargs, resident="dual", **fkw)
+    single = make_fused_trajectory(*fargs, resident="single", **fkw)
+    assert "At" not in single.params and single.resident == "single"
+    C = 16
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(0.1, 0.6, (C, M))
+                    * np.asarray(wdiag)[None, :], jnp.float32)
+    p = jnp.asarray(rng.randn(C, M) * 1e-3, jnp.float32)
+    out_d = dual(x, p, jnp.int32(5), jnp.float32(0.01), jnp.float32(1.0),
+                 params=dual.params)
+    out_s = single(x, p, jnp.int32(5), jnp.float32(0.01),
+                   jnp.float32(1.0), params=single.params)
+    for a, b in zip(out_d, out_s):
+        # NT vs NN contraction accumulate in different orders: identical
+        # trajectories up to f32 reduction rounding
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("reg", ["MS", "Damping"])
 def test_fused_trajectory_with_diagonal_metric(small_module, reg):
     """The fused trajectory under a non-identity diagonal inverse mass
     matches the XLA shared-L path — the configuration warmup mass

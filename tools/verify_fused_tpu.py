@@ -156,6 +156,7 @@ def main():
 
     # ---- prism-gz Pallas kernel: Mosaic-compile + numerics ------------
     from gravinv3dhmc_tpu import constants
+    from gravinv3dhmc_tpu.ops.prism import prism_kernel_matrix
     from gravinv3dhmc_tpu.ops.prism_pallas import gz_kernel_matrix_pallas
 
     rng = np.random.RandomState(1)
@@ -171,7 +172,6 @@ def main():
     k_dev = gz_kernel_matrix_pallas(jnp.asarray(obs, jnp.float32),
                                     jnp.asarray(cells, jnp.float32), scale)
     # compare on device against an f64 host build (tiny h2d)
-    from gravinv3dhmc_tpu.ops.prism import prism_kernel_matrix
     k_host = prism_kernel_matrix("gz", obs[:, 0], obs[:, 1], obs[:, 2],
                                  cells)
     ref = jnp.asarray(np.asarray(k_host, np.float32))
@@ -182,6 +182,89 @@ def main():
     assert rel < 5e-3, rel  # f32 corner-difference cancellation bound
     print("VERIFY PRISM PALLAS: OK", flush=True)
 
+    # ---- single-resident layout at realdata scale (f32) ---------------
+    # ISOLATED IN A SUBPROCESS: the NT contraction SIGABRTs the Mosaic
+    # compiler on some jax builds (layout.h bitwidth check), which no
+    # try/except can catch — the child dying must not kill the verify.
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single-resident"],
+        capture_output=True, text=True, timeout=560)
+    sys.stdout.write(r.stdout)
+    if r.returncode != 0:
+        print(f"VERIFY SINGLE-RESIDENT REALDATA: FAILED (rc="
+              f"{r.returncode}; known Mosaic NT-layout crash — the "
+              "sampler gates this layout behind GRAVINV_FUSED_SINGLE=1)",
+              flush=True)
+
+
+def single_resident_check():
+    """The VMEM-oversize configuration that round 3 could not compile:
+    625x10427 f32 needs ~54 MB dual-resident; the single-matrix NT
+    layout halves that. Mosaic-compiles on the real chip and checks
+    numerics against an XLA matvec reference at realdata scale."""
+    from gravinv3dhmc_tpu.bench import build_realdata_problem
+    from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_trajectory
+
+    dev = jax.devices()[0]
+    rd_module, rd_dobs = build_realdata_problem()
+    Mr = rd_module.n_active
+    wdr = np.asarray(rd_module.wdiag)
+    apr_r = wdr * np.full(Mr, 0.001)
+    low_r = wdr * np.full(Mr, -0.5)
+    high_r = wdr * np.full(Mr, 0.5)
+    traj_s = make_fused_trajectory(
+        np.asarray(rd_module.Aw), np.asarray(rd_dobs) - np.mean(rd_dobs),
+        np.asarray(rd_module.grav_fix), apr_r, wdr * wdr, low_r, high_r,
+        regularization="Damping", beta=0.01, tile_c=32,
+        matvec_dtype=jnp.float32, resident="auto")
+    assert traj_s.resident == "single", traj_s.resident
+    rd_pot = rd_module.make_potential(
+        apr_r, low_r, high_r, constraint="mandatory",
+        regularization="Damping", beta=0.01, dtype=jnp.float32)
+    low_rd = jnp.asarray(low_r, jnp.float32)
+    high_rd = jnp.asarray(high_r, jnp.float32)
+    dtr = jnp.float32(0.005)
+    alpha_r = jnp.float32(0.05)
+
+    @jax.jit
+    def xla_traj_rd(x, p, prm, L):
+        def body(i, s):
+            x, p, g = s
+            x = x + dtr * p
+            over = x > high_rd
+            under = x < low_rd
+            x = jnp.clip(x, low_rd, high_rd)
+            p = jnp.where(over | under, -p, p)
+            U, g, (_, ud, um) = rd_pot.fn(x, alpha_r, prm)
+            return (x, p - dtr * g, g)
+
+        x, p, g = jax.lax.fori_loop(0, L, body, (x, p, jnp.zeros_like(x)))
+        return x, p + 0.5 * dtr * g
+
+    Cr = 64
+    rngr = np.random.RandomState(2)
+    xr0 = jnp.broadcast_to(jnp.asarray(0.2 * wdr, jnp.float32),
+                           (Cr, Mr)).astype(jnp.float32)
+    pr0 = jnp.asarray(rngr.randn(Cr, Mr).astype(np.float32) * 1e-4)
+    Lr = 5
+    xt, pt, gt, Ut, udt, umt = traj_s(xr0, pr0, jnp.int32(Lr), dtr,
+                                      alpha_r)
+    xr, pr = xla_traj_rd(xr0, pr0, rd_pot.params, Lr)
+    sx = float(jnp.max(jnp.abs(xr)))
+    sp = float(jnp.max(jnp.abs(pr)))
+    ddx = float(jnp.max(jnp.abs(xt - xr))) / max(sx, 1e-30)
+    ddp = float(jnp.max(jnp.abs(pt - pr))) / max(sp, 1e-30)
+    print(f"single-resident trajectory (realdata {rd_module.Aw.shape}, "
+          f"f32, L={Lr}): rel|dx|={ddx:.3e} rel|dp|={ddp:.3e}", flush=True)
+    assert ddx < 2e-3, ddx  # both sides f32; only reduction order differs
+    assert ddp < 2e-3, ddp
+    print("VERIFY SINGLE-RESIDENT REALDATA: OK", flush=True)
+
 
 if __name__ == "__main__":
-    main()
+    if "--single-resident" in sys.argv:
+        single_resident_check()
+    else:
+        main()
