@@ -176,6 +176,31 @@ def realdata_stage(stage):
     }
 
 
+def _iter_probe_child(tile_c):
+    """Child-process probe of the full-iteration kernel: a Mosaic crash
+    (SIGABRT — uncatchable in-process) must kill THIS throwaway process,
+    not the bench. On success the compile lands in the persistent cache,
+    so the parent's own compile of the identical kernel is cheap."""
+    from gravinv3dhmc_tpu.ops.leapfrog_pallas import make_fused_iteration
+
+    module, dobs = build_problem()
+    M = module.n_active
+    wdiag = module.wdiag
+    aprior = wdiag * np.full(M, 0.001)
+    low = wdiag * np.zeros(M)
+    high = wdiag * np.ones(M)
+    it = make_fused_iteration(
+        np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs), None,
+        aprior, wdiag * wdiag, low, high, regularization="MS",
+        beta=0.001, tile_c=tile_c, Sigma=0.001)
+    px = jnp.zeros((2 * tile_c, M), jnp.float32)
+    ps = jnp.zeros((2 * tile_c,), jnp.float32)
+    out = it(px, ps, px, ps, ps, jnp.int32(3), jnp.int32(3),
+             jnp.float32(0.01), jnp.float32(1.0), params=it.params)
+    jax.block_until_ready(out[0])
+    print("ITER_PROBE_OK", flush=True)
+
+
 def build_problem():
     dx = dy = dz = 100
     nx, ny, nz = 20, 30, 10
@@ -212,6 +237,35 @@ def main():
 
     module, dobs = build_problem()
     stage("problem built (kernel matrix on host)")
+    # subprocess probe of the full-iteration kernel BEFORE this process
+    # touches the device: a Mosaic SIGABRT is uncatchable and must kill
+    # the throwaway child, and two processes must never hold the
+    # tunnelled TPU claim at once (measured: concurrent claims wedge it)
+    use_fused_env = os.environ.get("BENCH_FUSED", "1") != "0"
+    iter_tile_ok = None
+    if use_fused_env and os.environ.get("BENCH_ITER", "1") != "0":
+        import subprocess
+        tile_env = os.environ.get("BENCH_TILE_C")
+        for tile_c in ([int(tile_env)] if tile_env else [128, 64]):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "from gravinv3dhmc_tpu.bench import "
+                     "_iter_probe_child; "
+                     f"_iter_probe_child({tile_c})"],
+                    capture_output=True, text=True, timeout=900)
+            except subprocess.TimeoutExpired:
+                stage(f"iteration-kernel probe (tile_c={tile_c}) "
+                      "timed out")
+                continue
+            if r.returncode == 0 and "ITER_PROBE_OK" in r.stdout:
+                iter_tile_ok = tile_c
+                stage(f"iteration-kernel subprocess probe OK "
+                      f"(tile_c={tile_c})")
+                break
+            print(f"WARNING: fused iteration kernel (tile_c={tile_c}) "
+                  f"failed the subprocess probe (rc={r.returncode}): "
+                  f"{r.stderr[-200:]}", file=sys.stderr, flush=True)
     M = module.n_active
     wdiag = module.wdiag
     aprior = wdiag * np.full(M, 0.001)
@@ -227,8 +281,37 @@ def main():
     nsamples = int(os.environ.get("BENCH_NSAMPLES", "64"))
     fused_traj = None
     fused = None
+    fused_iter = None
     fused_mode = "off"
-    if use_fused:
+    # full-iteration kernel (momentum refresh + accept in-kernel via the
+    # hardware PRNG): the fastest path measured; the subprocess probe at
+    # startup already established Mosaic accepts it at iter_tile_ok
+    if use_fused and iter_tile_ok is not None:
+        from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
+            make_fused_iteration,
+        )
+        fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
+                 None, aprior, module.wdiag * module.wdiag, low, high)
+        try:
+            fused_iter = make_fused_iteration(
+                *fargs, regularization="MS", beta=0.001,
+                tile_c=iter_tile_ok, Sigma=0.001)
+            probe_x = jnp.zeros((2 * iter_tile_ok, M), jnp.float32)
+            probe_s = jnp.zeros((2 * iter_tile_ok,), jnp.float32)
+            out = fused_iter(probe_x, probe_s, probe_x, probe_s,
+                             probe_s, jnp.int32(3), jnp.int32(3),
+                             jnp.float32(0.01), jnp.float32(1.0),
+                             params=fused_iter.params)
+            jax.block_until_ready(out[0])
+            fused_mode = f"iteration(tile_c={iter_tile_ok})"
+            stage(f"fused iteration kernel ready "
+                  f"(tile_c={iter_tile_ok})")
+        except Exception as e:  # noqa: BLE001
+            print(f"WARNING: fused iteration kernel unavailable "
+                  f"in-process: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
+            fused_iter = None
+    if use_fused and fused_iter is None:
         # compile-probe the fused Pallas kernels on THIS device before
         # committing to them: a Mosaic rejection must never fail the bench
         # (round-1 BENCH_r01.json rc=1 lesson). Preference order:
@@ -278,12 +361,14 @@ def main():
                 fused = None
                 fused_mode = f"fallback ({type(e).__name__})"
     stage("potential + fused setup done")
+    store_mode = os.environ.get("BENCH_STORE_MODE", "chain")
     run_chunk = hmc.make_chunk_sampler(
         potential_fn, dt=0.01, Lmin=5, Lmax=20, Sigma=0.001, low=low,
         high=high, constraint="mandatory", alpha=1.0, chunk_size=chunk_size,
         nsamples=nsamples, ndraws=0, wdiag_inv=module.wdiag_inv,
         data_size=dobs.size, dtype=jnp.float32, shared_L=shared_L,
-        fused_step=fused, fused_trajectory=fused_traj)
+        fused_step=fused, fused_trajectory=fused_traj,
+        fused_iteration=fused_iter, store_mode=store_mode)
 
     # chain state built ON DEVICE: np.tile would be a (C, M) bulk h2d
     # transfer (24.6 MB at 1024 chains), which the tunnelled link stalls on
@@ -381,6 +466,7 @@ def main():
             "nchains": nchains,
             "chunk_size": chunk_size,
             "shared_L": shared_L,
+            "store_mode": store_mode,
             "fused_pallas_step": fused_mode,
             "problem": [int(dobs.size), int(M)],
             "iters_per_s": round(chunk_size * n_timed_chunks * nchains

@@ -58,8 +58,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                        constraint, alpha, chunk_size, nsamples, ndraws,
                        wdiag_inv, data_size, log_factor=1000.0,
                        dtype=jnp.float32, shared_L=False, fused_step=None,
-                       fused_trajectory=None, welford=False,
-                       store_mode="accepted"):
+                       fused_trajectory=None, fused_iteration=None,
+                       welford=False, store_mode="accepted"):
     """Build the jitted chunk kernel with a device-resident sample buffer.
 
     ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
@@ -134,8 +134,79 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     # resident Pallas arrays threaded as jit arguments (embedding them as
     # closure constants ships ~15 MB of executable over the tunnelled
     # link on every compile / cache load)
-    fused_prm = getattr(fused_trajectory, "params",
-                        getattr(fused_step, "params", None))
+    fused_prm = getattr(fused_iteration, "params",
+                        getattr(fused_trajectory, "params",
+                                getattr(fused_step, "params", None)))
+
+    def _finish(x, U, g, u_data, u_model, accept, L, it, store_base,
+                nacc, buf_m, buf_k, wstate):
+        """Post-accept bookkeeping shared by every path: device-side
+        sample storage, accept counting, the per-iteration stats row and
+        the optional Welford moments."""
+        model_size = x.shape[-1]
+
+        def make_rows():
+            if logarithmic:
+                mw = logistic_to_mw(x, low, high, log_factor)
+            else:
+                mw = x
+            m_rows = mw * wdiag_inv  # unweighted model, reference units
+            u_norm_d = u_data / data_size
+            u_norm_m = u_model / model_size
+            k_rows = jnp.stack([
+                U, u_data, u_model,
+                u_norm_d + alpha_c * u_norm_m, u_norm_d, u_norm_m,
+                jnp.full_like(U, alpha_c)], axis=-1)  # (C, 7)
+            return m_rows, k_rows
+
+        if store_mode == "accepted":
+            # reference parity: per-chain row index = accepted count. A
+            # single masked scatter with uniqueness hints (each chain owns
+            # one distinct row; non-storing chains aim out of bounds and
+            # are dropped) — no gather, no select pass.
+            store = accept & (nacc >= ndraws) & (nacc < total)
+            idx = jnp.where(store,
+                            jnp.clip(nacc - ndraws, 0, nsamples - 1),
+                            nsamples)  # nsamples = out of bounds -> drop
+            m_rows, k_rows = make_rows()
+            chain_ix = jnp.arange(x.shape[0])
+            buf_m = buf_m.at[chain_ix, idx].set(
+                m_rows, mode="drop", unique_indices=True)
+            buf_k = buf_k.at[chain_ix, idx].set(
+                k_rows, mode="drop", unique_indices=True)
+        elif store_mode == "chain":
+            # every-iteration storage at a SHARED slot: one
+            # dynamic_update_slice (in-place in the scan), skipped by a
+            # scalar cond once the buffer is full
+            rel = store_base + it
+
+            def do_store(bufs):
+                bm, bk = bufs
+                m_rows, k_rows = make_rows()
+                slot = jnp.clip(rel - ndraws, 0, nsamples - 1)
+                bm = lax.dynamic_update_slice_in_dim(
+                    bm, m_rows[:, None, :], slot, axis=1)
+                bk = lax.dynamic_update_slice_in_dim(
+                    bk, k_rows[:, None, :], slot, axis=1)
+                return bm, bk
+
+            buf_m, buf_k = lax.cond(
+                (rel >= ndraws) & (rel < total), do_store,
+                lambda bufs: bufs, (buf_m, buf_k))
+        nacc = nacc + accept.astype(nacc.dtype)
+
+        stats = jnp.stack([accept.astype(dtype), U, u_data, u_model,
+                           L.astype(dtype)], axis=-1)  # (C, 5)
+        if wstate is not None:
+            # per-chain running moments of the post-accept position
+            w_mean, w_m2, w_count = wstate
+            cnt = w_count + 1.0
+            delta = x - w_mean
+            w_mean = w_mean + delta / cnt
+            w_m2 = w_m2 + delta * (x - w_mean)
+            return (x, U, g, u_data, u_model, nacc, buf_m, buf_k,
+                    w_mean, w_m2, cnt), stats
+        return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
 
     def one_iteration(carry, key_P):
         key, it, P, dt, inv_mass, fprm, store_base = key_P
@@ -147,6 +218,24 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         potential_fn = lambda xx, aa: pot_raw(xx, aa, P)
         C = x.shape[0]
         kL, kp, ku = random.split(key, 3)
+        if fused_iteration is not None:
+            # the WHOLE iteration in one kernel call (momentum refresh,
+            # trajectory, accept, select — ops/leapfrog_pallas.py
+            # make_fused_iteration). The PRNG is the in-kernel hardware
+            # generator seeded from this iteration's key, a different
+            # stream than the XLA path's threefry (statistically
+            # equivalent, not bit-reproducible against it).
+            L_scalar = random.randint(kL, (), Lmin, Lmax + 1)
+            L = jnp.full((C,), L_scalar)
+            seed = random.randint(kp, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+            (x, U, g, u_data, u_model, accf) = fused_iteration(
+                x, U, g, u_data, u_model, seed, L_scalar, dt, alpha_c,
+                params=fprm, inv_mass=inv_mass)
+            accept = accf > 0.5
+            return _finish(x, U, g, u_data, u_model, accept, L, it,
+                           store_base, nacc, buf_m, buf_k,
+                           (w_mean, w_m2, w_count) if welford else None)
         if inv_mass is None:
             # reference kinetic: K = p.p/2 with p ~ N(0, Sigma^2)
             # (inversion/hmc.py:44-50,95 — a tempering quirk, preserved)
@@ -299,69 +388,9 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         u_data = jnp.where(accept, ud_new, u_data)
         u_model = jnp.where(accept, um_new, u_model)
 
-        # ---- device-side sample storage ----------------------------------
-        model_size = x.shape[-1]
-
-        def make_rows():
-            if logarithmic:
-                mw = logistic_to_mw(x, low, high, log_factor)
-            else:
-                mw = x
-            m_rows = mw * wdiag_inv  # unweighted model, reference units
-            u_norm_d = u_data / data_size
-            u_norm_m = u_model / model_size
-            k_rows = jnp.stack([
-                U, u_data, u_model,
-                u_norm_d + alpha_c * u_norm_m, u_norm_d, u_norm_m,
-                jnp.full_like(U, alpha_c)], axis=-1)  # (C, 7)
-            return m_rows, k_rows
-
-        if store_mode == "accepted":
-            # reference parity: per-chain row index = accepted count. A
-            # single masked scatter with uniqueness hints (each chain owns
-            # one distinct row; non-storing chains aim out of bounds and
-            # are dropped) — no gather, no select pass.
-            store = accept & (nacc >= ndraws) & (nacc < total)
-            idx = jnp.where(store, jnp.clip(nacc - ndraws, 0, nsamples - 1),
-                            nsamples)  # nsamples = out of bounds -> drop
-            m_rows, k_rows = make_rows()
-            chain_ix = jnp.arange(x.shape[0])
-            buf_m = buf_m.at[chain_ix, idx].set(
-                m_rows, mode="drop", unique_indices=True)
-            buf_k = buf_k.at[chain_ix, idx].set(
-                k_rows, mode="drop", unique_indices=True)
-        elif store_mode == "chain":
-            # every-iteration storage at a SHARED slot: one
-            # dynamic_update_slice (in-place in the scan), skipped by a
-            # scalar cond once the buffer is full
-            rel = store_base + it
-
-            def do_store(bufs):
-                bm, bk = bufs
-                m_rows, k_rows = make_rows()
-                slot = jnp.clip(rel - ndraws, 0, nsamples - 1)
-                bm = lax.dynamic_update_slice_in_dim(
-                    bm, m_rows[:, None, :], slot, axis=1)
-                bk = lax.dynamic_update_slice_in_dim(
-                    bk, k_rows[:, None, :], slot, axis=1)
-                return bm, bk
-
-            buf_m, buf_k = lax.cond(
-                (rel >= ndraws) & (rel < total), do_store,
-                lambda bufs: bufs, (buf_m, buf_k))
-        nacc = nacc + accept.astype(nacc.dtype)
-
-        stats = jnp.stack([accept.astype(dtype), U, u_data, u_model,
-                           L.astype(dtype)], axis=-1)  # (C, 5)
-        if welford:
-            # per-chain running moments of the post-accept position
-            cnt = w_count + 1.0
-            delta = x - w_mean
-            w_mean = w_mean + delta / cnt
-            w_m2 = w_m2 + delta * (x - w_mean)
-            return (x, U, g, u_data, u_model, nacc, buf_m, buf_k,
-                    w_mean, w_m2, cnt), stats
-        return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
+        return _finish(x, U, g, u_data, u_model, accept, L, it,
+                       store_base, nacc, buf_m, buf_k,
+                       (w_mean, w_m2, w_count) if welford else None)
 
     # carry donation: the (C, nsamples, M) sample buffer dominates the
     # carry (1.6 GB at bench scale); donating it lets XLA update it in

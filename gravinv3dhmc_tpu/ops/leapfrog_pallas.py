@@ -404,6 +404,283 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
     return traj
 
 
+def _iter_kernel(scal_ref, L_ref, seed_ref, x_ref, g_ref, U_ref, ud_ref,
+                 um_ref, *refs, regularization, beta, matvec_dtype,
+                 single=False):
+    """ONE FULL HMC ITERATION in a single kernel invocation.
+
+    Extends the trajectory kernel with everything the sampler wrapper
+    used to do between kernel calls: the momentum refresh (in-kernel
+    Box-Muller over the hardware PRNG — p never touches HBM at all),
+    the kinetic energies, the Metropolis accept draw and the
+    accept/select of the carried state. HBM traffic per iteration drops
+    to x,g in + x,g out; everything else is VMEM-resident.
+
+    NOTE the PRNG stream differs from the XLA path's threefry (the
+    sampler documents this): momentum and the accept uniform come from
+    the TPU hardware PRNG seeded per (chunk-iteration, chain-tile).
+    """
+    if single:
+        (A_ref, dobs_ref, dmask_ref, aprior_ref, wmsq_ref, low_ref,
+         high_ref, im_ref, pscale_ref, x_out, g_out, U_out, ud_out,
+         um_out, acc_out) = refs
+    else:
+        (A_ref, At_ref, dobs_ref, dmask_ref, aprior_ref, wmsq_ref,
+         low_ref, high_ref, im_ref, pscale_ref, x_out, g_out, U_out,
+         ud_out, um_out, acc_out) = refs
+    eps = scal_ref[0, 0]
+    alpha = scal_ref[0, 1]
+    L = L_ref[0]
+    low = low_ref[:]
+    high = high_ref[:]
+    A = A_ref[:]
+    At = None if single else At_ref[:]
+    dobs = dobs_ref[:]
+    dmask = dmask_ref[:]
+    aprior = aprior_ref[:]
+    wmsq = wmsq_ref[:]
+    im = im_ref[:]
+    pscale = pscale_ref[:]  # Sigma*mask (identity) or mask/sqrt(im)
+    gm_scale = wmsq * (2.0 * beta)
+    s_data = 2.0 * eps
+    s_mod = eps * alpha * (2.0 if regularization != "MS" else 1.0)
+
+    x_in = x_ref[:]
+    g_in = g_ref[:]
+    U_in = U_ref[:]
+
+    # ---- momentum refresh: Box-Muller over the hardware PRNG ---------
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    shape = x_in.shape
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # 24-bit mantissas; u1 in (0, 1] so the log is finite
+    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) \
+        + (0.5 / (1 << 24))
+    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    n01 = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+        (2.0 * np.float32(np.pi)) * u2)
+    p0 = pscale * n01
+    K0 = 0.5 * jnp.sum(im * p0 * p0, axis=1, keepdims=True)
+    H0 = K0 + U_in
+    p = p0 - 0.5 * eps * g_in
+
+    def body(_, s):
+        x, p, pk, r = s
+        x = x + eps * (im * p)
+        xc = jnp.clip(x, low, high)
+        hit = x != xc
+        x = xc
+        p = jnp.where(hit, -p, p)
+        pk = p
+        if single:
+            d = jax.lax.dot_general(
+                x.astype(matvec_dtype), A,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            d = jax.lax.dot_general(
+                x.astype(matvec_dtype), At,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        r = (d - dobs) * dmask
+        gdata = jax.lax.dot_general(
+            r.astype(matvec_dtype), A,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dm = x - aprior
+        if regularization == "MS":
+            inv = 1.0 / (dm * dm + beta)
+            gm = gm_scale * dm * (inv * inv)
+        else:
+            gm = dm
+        p = p - s_data * gdata - s_mod * gm
+        return (x, p, pk, r)
+
+    r0 = jnp.zeros((shape[0], dobs_ref.shape[1]), jnp.float32)
+    x, p, pk, r = jax.lax.fori_loop(0, L, body, (x_in, p, p, r0))
+    g1 = (pk - p) * (1.0 / eps)
+    p_half = 0.5 * (pk + p)
+    K1 = 0.5 * jnp.sum(im * p_half * p_half, axis=1, keepdims=True)
+    ud1 = jnp.sum(r * r, axis=1, keepdims=True)
+    dm = x - aprior
+    dm2 = dm * dm
+    if regularization == "MS":
+        um1 = jnp.sum(wmsq * dm2 / (dm2 + beta), axis=1, keepdims=True)
+    else:
+        um1 = jnp.sum(dm2, axis=1, keepdims=True)
+    U1 = ud1 + alpha * um1
+    H1 = K1 + U1
+
+    # ---- Metropolis accept + select ----------------------------------
+    bu = pltpu.bitcast(pltpu.prng_random_bits((shape[0], LANE)),
+                       jnp.uint32)
+    u = (bu[:, :1] >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    acc = (H1 < H0) | (u < jnp.exp(-(H1 - H0)))  # (TC, 1); NaN -> reject
+    x_out[:] = jnp.where(acc, x, x_in)
+    g_out[:] = jnp.where(acc, g1, g_in)
+    U_out[:] = jnp.where(acc, U1, U_in)
+    ud_out[:] = jnp.where(acc, ud1, ud_ref[:])
+    um_out[:] = jnp.where(acc, um1, um_ref[:])
+    acc_out[:] = acc.astype(jnp.float32)
+
+
+def make_fused_iteration(A, dobs_centered, grav_fix, aprior, wm_sq, low,
+                         high, *, regularization="MS", beta=0.001,
+                         tile_c=128, matvec_dtype=jnp.bfloat16,
+                         resident="auto", Sigma=1.0, interpret=False):
+    """Build the one-call-per-iteration kernel:
+
+        it(x, U, g, ud, um, seed, L, eps, alpha, params=, inv_mass=)
+            -> (x', U', g', ud', um', accept)
+
+    where ``accept`` is a float (C,) vector of 0/1 flags and every other
+    output is the POST-SELECT carried state. The momentum refresh and
+    the Metropolis draw happen in-kernel on the hardware PRNG, so the
+    sampler wrapper shrinks to the L draw, the seed derivation and the
+    sample store (see inversion/hmc.py). Resident layouts and semantics
+    match :func:`make_fused_trajectory`.
+    """
+    if regularization not in ("MS", "Damping"):
+        raise ValueError("fused iteration supports MS/Damping only")
+    D, M = A.shape
+    Mp = _round_up(M, LANE)
+    Dp = _round_up(D, LANE)
+    if resident == "auto":
+        resident = ("dual" if traj_vmem_feasible(D, M, tile_c,
+                                                 matvec_dtype, "dual")
+                    else "single")
+    single = resident == "single"
+
+    def pad2(v, n):
+        v = np.asarray(v, np.float32).reshape(1, -1)
+        return np.pad(v, ((0, 0), (0, n - v.shape[1])))
+
+    A64 = np.asarray(A, np.float64)
+    A_p = np.zeros((Dp, Mp), np.float32)
+    A_p[:D, :M] = (A64 - A64.mean(axis=0)).astype(np.float32)
+    A_dev = jnp.asarray(A_p, matvec_dtype)
+    At_dev = (None if single
+              else jnp.asarray(A_p.T.copy(), matvec_dtype))
+    fix = (np.asarray(grav_fix, np.float64) if grav_fix is not None
+           else np.zeros(D))
+    dobs_merged = (np.asarray(dobs_centered, np.float64)
+                   - (fix - fix.mean()))
+    mmask = np.zeros((1, Mp), np.float32)
+    mmask[0, :M] = 1.0
+    dmask = np.zeros((1, Dp), np.float32)
+    dmask[0, :D] = 1.0
+    fused_params = {
+        "A": A_dev, "dobs": jnp.asarray(pad2(dobs_merged, Dp)),
+        "dmask": jnp.asarray(dmask),
+        "aprior": jnp.asarray(pad2(aprior, Mp)),
+        "wmsq": jnp.asarray(pad2(wm_sq, Mp)),
+        "low": jnp.asarray(pad2(low, Mp)),
+        "high": jnp.asarray(pad2(high, Mp)),
+        "im": jnp.ones((1, Mp), jnp.float32),
+        # momentum scale: Sigma*mask (the reference's tempered identity
+        # kinetic); replaced by mask/sqrt(im) under an adapted metric
+        "pscale": jnp.asarray(mmask * np.float32(Sigma)),
+        "mmask": jnp.asarray(mmask),
+    }
+    if not single:
+        fused_params["At"] = At_dev
+
+    kernel = functools.partial(
+        _iter_kernel, regularization=regularization, beta=float(beta),
+        matvec_dtype=matvec_dtype, single=single)
+    vmem_limit = min(traj_vmem_estimate(D, M, tile_c, matvec_dtype,
+                                        resident),
+                     VMEM_CAP_BYTES)
+
+    def it(x, U, g, ud, um, seed, L, eps, alpha, params=None,
+           inv_mass=None):
+        prm = fused_params if params is None else params
+        if inv_mass is not None:
+            imp = jnp.pad(
+                jnp.asarray(inv_mass, jnp.float32).reshape(1, -1),
+                ((0, 0), (0, Mp - M)), constant_values=1.0)
+            prm = dict(prm, im=imp,
+                       pscale=prm["mmask"] / jnp.sqrt(imp))
+        C, Mx = x.shape
+        assert Mx == M, (Mx, M)
+        assert C % tile_c == 0, (C, tile_c)
+        xp = jnp.pad(x, ((0, 0), (0, Mp - M)))
+        gp = jnp.pad(g, ((0, 0), (0, Mp - M)))
+        scal = jnp.stack([eps, alpha]).astype(jnp.float32).reshape(1, 2)
+        Ls = jnp.asarray(L, jnp.int32).reshape(1)
+        seeds = jnp.asarray(seed, jnp.int32).reshape(1)
+        n_tiles = C // tile_c
+        tile_map = lambda i: (jax.lax.convert_element_type(i, np.int32),
+                              np.int32(0))
+        zero_map = lambda i: (np.int32(0), np.int32(0))
+        vspec = lambda shape, imap: pl.BlockSpec(shape, imap,
+                                                 memory_space=pltpu.VMEM)
+        const = lambda shape: vspec(shape, zero_map)
+        mat_specs = [const((Dp, Mp))]
+        mat_args = [prm["A"]]
+        if not single:
+            mat_specs.append(const((Mp, Dp)))
+            mat_args.append(prm["At"])
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 2), zero_map, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                             memory_space=pltpu.SMEM),
+                vspec((tile_c, Mp), tile_map),            # x
+                vspec((tile_c, Mp), tile_map),            # g
+                vspec((tile_c, 1), tile_map),             # U
+                vspec((tile_c, 1), tile_map),             # ud
+                vspec((tile_c, 1), tile_map),             # um
+                *mat_specs,
+                const((1, Dp)),                           # dobs_c - fix_c
+                const((1, Dp)),                           # dmask
+                const((1, Mp)),                           # aprior
+                const((1, Mp)),                           # wm_sq
+                const((1, Mp)),                           # low
+                const((1, Mp)),                           # high
+                const((1, Mp)),                           # inv mass
+                const((1, Mp)),                           # pscale
+            ],
+            out_specs=[
+                vspec((tile_c, Mp), tile_map),
+                vspec((tile_c, Mp), tile_map),
+                vspec((tile_c, 1), tile_map),
+                vspec((tile_c, 1), tile_map),
+                vspec((tile_c, 1), tile_map),
+                vspec((tile_c, 1), tile_map),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((C, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((C, 1), jnp.float32),
+                jax.ShapeDtypeStruct((C, 1), jnp.float32),
+                jax.ShapeDtypeStruct((C, 1), jnp.float32),
+                jax.ShapeDtypeStruct((C, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
+        )(scal, Ls, seeds, xp, gp, U.reshape(C, 1), ud.reshape(C, 1),
+          um.reshape(C, 1), *mat_args, prm["dobs"], prm["dmask"],
+          prm["aprior"], prm["wmsq"], prm["low"], prm["high"],
+          prm["im"], prm["pscale"])
+        x2, g2, U2, ud2, um2, acc = out
+        return (x2[:, :M], U2[:, 0], g2[:, :M], ud2[:, 0], um2[:, 0],
+                acc[:, 0])
+
+    it.D = D
+    it.M = M
+    it.tile_c = tile_c
+    it.resident = resident
+    it.params = fused_params
+    return it
+
+
 def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
                     regularization="MS", beta=0.001, tile_c=32,
                     matvec_dtype=jnp.bfloat16, interpret=False):

@@ -14,6 +14,7 @@ from jax import random
 
 from gravinv3dhmc_tpu.inversion import hmc
 from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
+    make_fused_iteration,
     make_fused_step,
     make_fused_trajectory,
 )
@@ -259,6 +260,95 @@ def test_fused_trajectory_with_diagonal_metric(small_module, reg):
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(c_x[6]), np.asarray(c_f[6]),
                                rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("reg", ["MS", "Damping"])
+def test_fused_iteration_matches_trajectory(small_module, reg):
+    """The full-iteration kernel (in-kernel momentum refresh + accept)
+    must integrate the same trajectory as the trajectory kernel when fed
+    the same momentum. The TPU interpreter stubs prng_random_bits to
+    ZEROS, which makes the in-kernel Box-Muller produce a KNOWN constant
+    momentum (u1=2^-25, u2=0 -> n01=sqrt(50 ln 2)) and accept uniform
+    u=0 — so the iteration is fully deterministic here and can be
+    replayed through make_fused_trajectory for comparison. (Statistical
+    PRNG quality is validated on hardware: tools/verify_fused_tpu.py.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    module, dobs, _ = small_module
+    pot, _, low, high, aprior = _setup(module, dobs, reg)
+    M = module.n_active
+    wdiag = module.wdiag
+    Sigma = 0.001
+    fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
+             None, aprior, wdiag * wdiag, low, high)
+    fkw = dict(regularization=reg, beta=0.001, tile_c=8,
+               matvec_dtype=jnp.float32)
+    it = make_fused_iteration(*fargs, Sigma=Sigma, **fkw)
+    traj = make_fused_trajectory(*fargs, **fkw, interpret=True)
+    C = 8
+    rng = np.random.RandomState(5)
+    x0 = jnp.asarray(rng.uniform(0.2, 0.8, (C, M))
+                     * np.asarray(wdiag)[None, :], jnp.float32)
+    U0, g0, (_, ud0, um0) = pot(x0, 1.0)
+    eps = jnp.float32(0.01)
+    alpha = jnp.float32(1.0)
+    L = 4
+    with pltpu.force_tpu_interpret_mode():
+        x1, U1, g1, ud1, um1, acc = it(x0, U0, g0, ud0, um0,
+                                       jnp.int32(7), jnp.int32(L), eps,
+                                       alpha, params=it.params)
+    # stubbed PRNG: every momentum coordinate is the same known constant
+    n01 = np.sqrt(-2.0 * np.log(np.float32(2.0 ** -25)))
+    p0 = jnp.full((C, M), Sigma * np.float32(n01), jnp.float32)
+    p_half = p0 - 0.5 * eps * g0
+    xt, pt, gt, Ut, udt, umt = traj(x0, p_half, jnp.int32(L), eps, alpha,
+                                    params=traj.params)
+    # accept uniform is 0 -> accept unless exp(-dH) underflows to exactly
+    # 0; at these scales every chain accepts
+    np.testing.assert_array_equal(np.asarray(acc), 1.0)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(xt),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(gt),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(Ut),
+                               rtol=2e-4)
+
+
+def test_fused_iteration_rejection_keeps_state(small_module):
+    """A chain whose Delta-H underflows exp() to exactly 0 must reject
+    (accept uniform is 0 in the interpreter) and keep its carried
+    state bit-for-bit."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    module, dobs, _ = small_module
+    pot, _, low, high, aprior = _setup(module, dobs, "Damping")
+    M = module.n_active
+    wdiag = module.wdiag
+    fargs = (np.asarray(module.Aw), np.asarray(dobs) - np.mean(dobs),
+             None, aprior, wdiag * wdiag, low, high)
+    it = make_fused_iteration(*fargs, regularization="Damping",
+                              beta=0.001, tile_c=8,
+                              matvec_dtype=jnp.float32, Sigma=0.001)
+    C = 8
+    x0 = jnp.asarray(np.tile(0.5 * np.asarray(wdiag, np.float32),
+                             (C, 1)), jnp.float32)
+    g0 = jnp.zeros((C, M), jnp.float32)
+    # claim U_in is hugely negative: H1 - H0 is astronomically positive,
+    # exp underflows to 0.0 and u=0 is NOT < 0 -> reject everywhere
+    U0 = jnp.full((C,), -1e30, jnp.float32)
+    ud0 = jnp.full((C,), 1.0, jnp.float32)
+    um0 = jnp.full((C,), 2.0, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x1, U1, g1, ud1, um1, acc = it(x0, U0, g0, ud0, um0,
+                                       jnp.int32(3), jnp.int32(3),
+                                       jnp.float32(0.01),
+                                       jnp.float32(1.0), params=it.params)
+    np.testing.assert_array_equal(np.asarray(acc), 0.0)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+    np.testing.assert_array_equal(np.asarray(U1), np.asarray(U0))
+    np.testing.assert_array_equal(np.asarray(ud1), np.asarray(ud0))
+    np.testing.assert_array_equal(np.asarray(um1), np.asarray(um0))
 
 
 def test_fused_rejects_bad_config(small_module):
