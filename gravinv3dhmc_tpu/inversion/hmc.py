@@ -119,8 +119,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
     mandatory = constraint == "mandatory"
     reflective = constraint == "reflective"
     logarithmic = constraint == "logarithmic"
-    if (fused_step is not None or fused_trajectory is not None) \
-            and not mandatory:
+    if (fused_step is not None or fused_trajectory is not None
+            or fused_iteration is not None) and not mandatory:
         raise ValueError("the fused Pallas trajectory supports the "
                          "'mandatory' boundary constraint only")
     total = nsamples + ndraws
@@ -486,6 +486,15 @@ class HamiltonianMC:
         #: — problems like realdata need f32 H conservation (bf16 alone
         #: collapses the accept rate; bench.py round-3 note).
         self.fused_matvec_dtype = None
+        #: prefer the full-iteration kernel (momentum refresh + accept
+        #: in-kernel) over the trajectory kernel. Hardware-validated but
+        #: currently slower end-to-end (see _build_fused); off by default.
+        self.prefer_iteration_kernel = False
+        #: allow the per-step kernel as last-resort fused fallback. At
+        #: VMEM-heavy scales (realdata f32) it measured ~3x slower than
+        #: the XLA path — set False to fall straight back to XLA when the
+        #: whole-trajectory kernel is infeasible.
+        self.fused_per_step_ok = True
         #: set by sample(): which fused path the probe selected
         self._fused_mode = "off"
         #: sample-storage discipline (see :func:`make_chunk_sampler`):
@@ -523,10 +532,11 @@ class HamiltonianMC:
 
     def _build_fused(self, nsamples):
         """Compile-probe the fused Pallas kernels on the attached device;
-        returns ``(fused_step, fused_trajectory)`` with at most one
-        non-None (trajectory preferred — chain state stays VMEM-resident
-        across all L steps), or ``(None, None)`` -> XLA path. Both kernels
-        take the diagonal inverse mass as a resident vector, so
+        returns ``(fused_step, fused_trajectory, fused_iteration)`` with
+        at most one non-None (iteration kernel preferred — momentum
+        refresh and accept run in-kernel; then trajectory; then
+        per-step), or all-None -> XLA path. Every kernel takes the
+        diagonal inverse mass as a resident vector, so
         ``adapt_mass=True`` keeps the fused path (round-2 silently fell
         back to XLA)."""
         if (self.constraint != "mandatory"
@@ -535,8 +545,9 @@ class HamiltonianMC:
                 or getattr(self.model, "Aw", None) is None  # device-built
                 or (getattr(self.model, "Awcp", None) is not None
                     and self.model.wavelet)):
-            return None, None
+            return None, None, None
         from ..ops.leapfrog_pallas import (
+            make_fused_iteration,
             make_fused_step,
             make_fused_trajectory,
             traj_vmem_estimate,
@@ -576,6 +587,33 @@ class HamiltonianMC:
                           f"skipped: needs ~{need >> 20} MB VMEM "
                           f"(cap 120 MB)", flush=True)
                 continue
+            # full-iteration kernel (dual-resident only — validated on
+            # hardware: accept matches the XLA path to 3 decimals, but
+            # its in-kernel Box-Muller costs ~1.2 ms/call of VPU
+            # transcendentals, measuring SLOWER than trajectory+wrapper
+            # at bench scale — so opt-in)
+            if (self.prefer_iteration_kernel
+                    and traj_vmem_feasible(D, M, tile_c, mv_dtype)):
+                try:
+                    itk = make_fused_iteration(
+                        *fargs, tile_c=tile_c, resident="dual",
+                        Sigma=self.Sigma, **fkw)
+                    probe = jnp.zeros((2 * tile_c, M), self.dtype)
+                    ps = jnp.zeros((2 * tile_c,), self.dtype)
+                    out = itk(probe, ps, probe, ps, ps, jnp.int32(3),
+                              jnp.int32(3),
+                              jnp.asarray(self.dt, self.dtype),
+                              jnp.asarray(self.RegulFactor, self.dtype),
+                              params=itk.params)
+                    jax.block_until_ready(out[0])
+                    self._fused_mode = (f"iteration(tile_c={tile_c},"
+                                        f"{jnp.dtype(mv_dtype).name})")
+                    return None, None, itk
+                except Exception as e:  # noqa: BLE001 — try trajectory
+                    if self.verbose:
+                        print(f"fused iteration kernel (tile_c={tile_c}) "
+                              f"unavailable ({type(e).__name__})",
+                              flush=True)
             try:
                 traj = make_fused_trajectory(
                     *fargs, tile_c=tile_c,
@@ -590,11 +628,14 @@ class HamiltonianMC:
                 self._fused_mode = (f"trajectory(tile_c={tile_c},"
                                     f"{traj.resident},"
                                     f"{jnp.dtype(mv_dtype).name})")
-                return None, traj
+                return None, traj, None
             except Exception as e:  # noqa: BLE001 — try the next tile
                 if self.verbose:
                     print(f"fused Pallas trajectory (tile_c={tile_c}) "
                           f"unavailable ({type(e).__name__})", flush=True)
+        if not self.fused_per_step_ok:
+            self._fused_mode = "off"
+            return None, None, None
         try:
             fused = make_fused_step(*fargs, **fkw)
             probe = jnp.zeros((32, M), self.dtype)
@@ -602,14 +643,14 @@ class HamiltonianMC:
                         jnp.asarray(self.RegulFactor, self.dtype))
             jax.block_until_ready(out[0])
             self._fused_mode = "per-step"
-            return fused, None
+            return fused, None, None
         except Exception as e:  # noqa: BLE001 — fall back on any rejection
             if self.verbose:
                 print(f"fused Pallas step unavailable "
                       f"({type(e).__name__}); using the XLA path",
                       flush=True)
             self._fused_mode = "off"
-            return None, None
+            return None, None, None
 
     def sample(self, nsamples, ndraws, max_chunks=None, callback=None,
                checkpoint_path=None, checkpoint_every=20, resume=True):
@@ -654,8 +695,9 @@ class HamiltonianMC:
                 "Please choose right boundary constraint(mandatory, "
                 "logarithmic)!")
 
-        fused, fused_traj = (self._build_fused(nsamples)
-                             if self.use_fused else (None, None))
+        fused, fused_traj, fused_iter = (
+            self._build_fused(nsamples) if self.use_fused
+            else (None, None, None))
         run_chunk = make_chunk_sampler(
             potential_fn, dt=self.dt, Lmin=self.Lrange[0],
             Lmax=self.Lrange[1], Sigma=self.Sigma, low=self.low,
@@ -665,8 +707,10 @@ class HamiltonianMC:
             wdiag_inv=self.model.wdiag_inv, data_size=self.dobs.shape[0],
             log_factor=self.log_factor, dtype=dtype,
             shared_L=(self.shared_L or fused is not None
-                      or fused_traj is not None),
+                      or fused_traj is not None
+                      or fused_iter is not None),
             fused_step=fused, fused_trajectory=fused_traj,
+            fused_iteration=fused_iter,
             welford=self.adapt_mass, store_mode=self.store_mode)
 
         x = jnp.asarray(x0, dtype)

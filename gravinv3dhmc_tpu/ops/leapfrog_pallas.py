@@ -452,12 +452,19 @@ def _iter_kernel(scal_ref, L_ref, seed_ref, x_ref, g_ref, U_ref, ud_ref,
     # ---- momentum refresh: Box-Muller over the hardware PRNG ---------
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     shape = x_in.shape
+
+    def u24(bits):
+        # top 24 bits as a float in [0, 1): shift on uint32, REINTERPRET
+        # as int32 (value < 2^24, sign-safe) and cast — Mosaic has no
+        # uint32->float32 cast
+        return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) \
+            * (1.0 / (1 << 24))
+
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # 24-bit mantissas; u1 in (0, 1] so the log is finite
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) \
-        + (0.5 / (1 << 24))
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # u1 in (0, 1] so the log is finite
+    u1 = u24(b1) + (0.5 / (1 << 24))
+    u2 = u24(b2)
     n01 = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
         (2.0 * np.float32(np.pi)) * u2)
     p0 = pscale * n01
@@ -515,7 +522,7 @@ def _iter_kernel(scal_ref, L_ref, seed_ref, x_ref, g_ref, U_ref, ud_ref,
     # ---- Metropolis accept + select ----------------------------------
     bu = pltpu.bitcast(pltpu.prng_random_bits((shape[0], LANE)),
                        jnp.uint32)
-    u = (bu[:, :1] >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    u = u24(bu[:, :1])
     acc = (H1 < H0) | (u < jnp.exp(-(H1 - H0)))  # (TC, 1); NaN -> reject
     x_out[:] = jnp.where(acc, x, x_in)
     g_out[:] = jnp.where(acc, g1, g_in)
