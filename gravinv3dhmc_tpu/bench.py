@@ -162,18 +162,45 @@ def realdata_stage(stage):
           f"accept {out['accept_ratio']:.2f})")
     ess_per_s = out.get("ess_per_s_median") or float("nan")
     samples_per_s = nchains * nsamples / out["elapsed_s"]
+    # free the adaptive run's device sample buffer (8.2 GB at these
+    # defaults) before the reference-kernel run allocates its own
+    out["samples_device"] = None
+    out["misfits_device"] = None
 
     # ---- reference-kernel ESS/sample: the like-for-like anchor --------
     # The reference logs samples/s but never ESS; its kernel's
     # statistical efficiency is a property of the ALGORITHM + config
-    # (fixed dt=0.005, Sigma=0.001, L in [5,40], accept ~1.0 —
+    # (fixed dt=0.005, Sigma=0.001, L in [5,40], accept 1.0 —
     # example/realdata/logout_T1.txt), which this framework reproduces
-    # to misfit-plateau parity (tests/test_realdata_parity.py). Running
-    # that exact config here and measuring ESS/sample gives
-    #   reference ESS/s on ITS hardware = its samples/s x ESS/sample,
-    # a measured (not assumed) baseline for the ESS-qualified speedup.
+    # EXACTLY at f64: measured accept 1.0000 matching the reference's
+    # logged 100% (tools/refkernel_f64.json; at f32 the same config
+    # accepts 0.03 — pure floating-point Hamiltonian noise). Its
+    # measured ESS/sample anchors
+    #   reference ESS/s on ITS hardware = its samples/s x ESS/sample.
+    # The f64 measurement takes ~25 min on an emulated-f64 TPU, so the
+    # recorded artifact is loaded by default; BENCH_REALDATA_REFKERNEL=1
+    # re-measures live, =0 disables.
     ref_est = None
-    if os.environ.get("BENCH_REALDATA_REFKERNEL", "1") != "0":
+    ref_mode = os.environ.get("BENCH_REALDATA_REFKERNEL", "file")
+    if ref_mode == "file":
+        try:
+            art = json.load(open(os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(
+                    __file__))), "tools", "refkernel_f64.json")))
+            e_per_sample = art["measured"]["ess_per_sample"]
+            ref_est = {
+                "accept_ratio": art["measured"]["accept_ratio"],
+                "ess_per_sample": e_per_sample,
+                "ref_hw_ess_per_s": (BASELINE_REALDATA_SAMPLES_PER_S
+                                     * e_per_sample),
+                "source": "tools/refkernel_f64.json (recorded f64 "
+                          "measurement; BENCH_REALDATA_REFKERNEL=1 "
+                          "re-measures)",
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"WARNING: refkernel_f64.json unavailable: {e!r:.120}",
+                  file=sys.stderr, flush=True)
+    elif ref_mode == "1":
         try:
             ref = hmc.HamiltonianMC(module)
             ref.dt = 0.005
@@ -182,28 +209,32 @@ def realdata_stage(stage):
             ref.seed = 100
             ref.RegulFactor = 0.05
             ref.regularization = "Damping"
-            ref.nchains = nchains
-            ref.chunk_size = chunk_size
+            ref.nchains = 64
+            ref.chunk_size = 32
             ref.verbose = chain.verbose
             ref.write_files = False
             ref.shared_L = True
             ref.use_fused = False  # measure the kernel, keep it simple
             ref.store_mode = "chain"
             ref.transfer_samples = False
+            ref.dtype = jnp.float64  # the reference is all-f64; f32
+            # Hamiltonian noise collapses its accept 1.0 to 0.03
             ref.low = chain.low
             ref.high = chain.high
             ref.initial_model = chain.initial_model
             ref.aprior_model = chain.aprior_model
             ref.dobs = chain.dobs
-            rout = ref.sample(nsamples, 0)
+            rS = 128
+            rout = ref.sample(rS, 0)
             r_ess_total = ((rout.get("ess_per_s_median") or 0.0)
                            * rout["elapsed_s"])
-            e_per_sample = r_ess_total / (nchains * nsamples)
-            ref_ess_per_s = BASELINE_REALDATA_SAMPLES_PER_S * e_per_sample
+            e_per_sample = r_ess_total / (64 * rS)
             ref_est = {
                 "accept_ratio": round(rout["accept_ratio"], 4),
                 "ess_per_sample": e_per_sample,
-                "ref_hw_ess_per_s": ref_ess_per_s,
+                "ref_hw_ess_per_s": (BASELINE_REALDATA_SAMPLES_PER_S
+                                     * e_per_sample),
+                "source": "measured live (f64)",
             }
             stage(f"reference-kernel ESS measured (accept "
                   f"{rout['accept_ratio']:.2f}, ESS/sample "

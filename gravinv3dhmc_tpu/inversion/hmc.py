@@ -979,7 +979,9 @@ class HamiltonianMC:
                 from ..diagnostics import ess_jax
                 sub = np.random.RandomState(0).choice(
                     M, size=min(M, 128), replace=False)
-                ess = ess_jax(carry[6][:, :n_common, jnp.asarray(sub)])
+                # f32: the device ESS runs an FFT, which TPU lacks in f64
+                ess = ess_jax(carry[6][:, :n_common, jnp.asarray(sub)]
+                              .astype(jnp.float32))
                 ess_per_s = float(jnp.median(ess)) / max(elapsed, 1e-9)
             return {
                 "samples": None,
