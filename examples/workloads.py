@@ -341,6 +341,18 @@ def device_posterior_summary(module, stats, dobs, truth=None, sub=128):
         out["RMSM"] = float(jnp.sqrt(jnp.mean((mean_m - t_d) ** 2)))
         out["posterior_truth_corr"] = float(
             jnp.corrcoef(jnp.stack([mean_m, t_d]))[0, 1])
+        # statistical realness of the POSTERIOR (not just its mean): the
+        # fraction of cells whose truth lies within mean +- 2 std. A
+        # well-calibrated Gaussian-ish posterior covers ~95%; a
+        # random-walk stuck in a ball around its start covers ~0 for
+        # every cell the data actually constrains.
+        out["coverage_2std"] = float(jnp.mean(
+            (jnp.abs(mean_m - t_d) <= 2.0 * std_m)))
+        # amplitude ratio of the recovered field vs truth: >1 means the
+        # mean over-amplifies (shrinkage via a larger RegulFactor would
+        # lower RMSM at the same correlation)
+        out["amplitude_ratio"] = float(
+            jnp.sqrt(jnp.mean(mean_m ** 2) / jnp.mean(t_d ** 2)))
     if n_common >= 8:
         from gravinv3dhmc_tpu.diagnostics import ess_jax
         idx = np.random.RandomState(0).choice(

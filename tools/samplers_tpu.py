@@ -126,7 +126,9 @@ def main():
         compile_s = time.time() - t0
         t0 = time.time()
         xs, stats = compiled(x0_b, keys, batched.params)
-        jax.block_until_ready(xs)
+        float(xs[0, 0, 0])  # scalar readback: the only real completion
+        # barrier on the axon tunnel (block_until_ready returns at
+        # dispatch — it timed this very call at 0.0 s)
         elapsed = time.time() - t0
         depths = stats["depths"]
         res = summarize(xs, elapsed, compile_s, dict(
@@ -158,7 +160,7 @@ def main():
         compile_s = time.time() - t0
         t0 = time.time()
         xs, stats = compiled(x0_b, random.PRNGKey(100), batched.params)
-        jax.block_until_ready(xs)
+        float(xs[0, 0, 0])  # scalar readback barrier (see nuts above)
         elapsed = time.time() - t0
         xs_cnm = jnp.swapaxes(xs, 0, 1)  # (N, C, M) -> (C, N, M)
         # stats["L"] is the shared per-iteration trajectory length; every
