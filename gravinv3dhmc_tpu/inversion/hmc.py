@@ -569,14 +569,13 @@ class HamiltonianMC:
             if self.nchains % tile_c != 0:
                 continue
             # VMEM pre-check: skip tiles whose resident set cannot fit by
-            # arithmetic instead of burning a doomed remote compile.
-            # The single-matrix fallback layout halves the matrix VMEM,
-            # but its NT contraction SIGABRTs the Mosaic compiler on this
-            # jax build (layout.h bitwidth check — an uncatchable
-            # in-process crash), so it is opt-in via
-            # GRAVINV_FUSED_SINGLE=1 until fixed; tests cover its
-            # numerics in interpret mode.
-            allow_single = os.environ.get("GRAVINV_FUSED_SINGLE") == "1"
+            # arithmetic instead of burning a doomed remote compile. The
+            # single-matrix fallback layout halves the matrix VMEM (its
+            # NT contraction needs the x64-off kernel trace that
+            # _invoke_x64_off now guarantees — under x64 Mosaic
+            # SIGABRT'd); GRAVINV_FUSED_SINGLE=0 disables it.
+            allow_single = os.environ.get("GRAVINV_FUSED_SINGLE",
+                                          "1") != "0"
             feasible = traj_vmem_feasible(D, M, tile_c, mv_dtype) or (
                 allow_single
                 and traj_vmem_feasible(D, M, tile_c, mv_dtype, "single"))

@@ -42,6 +42,18 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _invoke_x64_off(fn, *args):
+    """Trace a pallas_call with jax_enable_x64 OFF: the package enables
+    x64 globally, and under it Mosaic's layout pass hits a fatal
+    `bitwidth_ <= 32` check (SIGABRT, uncatchable) for some kernel
+    features — measured: the NT-contraction single-resident layout and
+    the prism-gz builder crash under x64 and compile cleanly without it.
+    All operands are concrete f32/i32 arrays, so disabling promotion for
+    the kernel trace changes no semantics."""
+    with jax.enable_x64(False):
+        return fn(*args)
+
+
 # Mosaic scoped-VMEM we are willing to request; v5e physical VMEM is
 # 128 MB — leave headroom for the compiler's own scratch
 VMEM_CAP_BYTES = 120 << 20
@@ -389,9 +401,11 @@ def make_fused_trajectory(A, dobs_centered, grav_fix, aprior, wm_sq, low,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
-        )(scal, Ls, xp, pp, *mat_args, prm["dobs"],
-          prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
-          prm["high"], prm["im"])
+        )
+        out = _invoke_x64_off(
+            out, scal, Ls, xp, pp, *mat_args, prm["dobs"],
+            prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
+            prm["high"], prm["im"])
         x2, p2, g2, U, ud, um = out
         return (x2[:, :M], p2[:, :M], g2[:, :M], U[:, 0], ud[:, 0],
                 um[:, 0])
@@ -672,10 +686,12 @@ def make_fused_iteration(A, dobs_centered, grav_fix, aprior, wm_sq, low,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
-        )(scal, Ls, seeds, xp, gp, U.reshape(C, 1), ud.reshape(C, 1),
-          um.reshape(C, 1), *mat_args, prm["dobs"], prm["dmask"],
-          prm["aprior"], prm["wmsq"], prm["low"], prm["high"],
-          prm["im"], prm["pscale"])
+        )
+        out = _invoke_x64_off(
+            out, scal, Ls, seeds, xp, gp, U.reshape(C, 1),
+            ud.reshape(C, 1), um.reshape(C, 1), *mat_args, prm["dobs"],
+            prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
+            prm["high"], prm["im"], prm["pscale"])
         x2, g2, U2, ud2, um2, acc = out
         return (x2[:, :M], U2[:, 0], g2[:, :M], ud2[:, 0], um2[:, 0],
                 acc[:, 0])
@@ -808,9 +824,11 @@ def make_fused_step(A, dobs_centered, grav_fix, aprior, wm_sq, low, high, *,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit),
-        )(scal, xp, pp, prm["A"], prm["At"], prm["dobs"], prm["fix"],
-          prm["dmask"], prm["aprior"], prm["wmsq"], prm["low"],
-          prm["high"], prm["im"])
+        )
+        out = _invoke_x64_off(
+            out, scal, xp, pp, prm["A"], prm["At"], prm["dobs"],
+            prm["fix"], prm["dmask"], prm["aprior"], prm["wmsq"],
+            prm["low"], prm["high"], prm["im"])
         x2, p2, U, ud, um = out
         return (x2[:, :M], p2[:, :M], U[:, 0], ud[:, 0], um[:, 0])
 
