@@ -79,7 +79,7 @@ def cmd_global(args):
         adapt_step_size=True, adapt_mass=not args.no_adapt_mass,
         adapt_chunks=max(args.adapt_chunks, 20),
         cg_warm_start=not args.no_cg, cg_maxk=args.cg_maxk,
-        store_mode="chain")
+        store_mode="chain", store_thin=args.store_thin)
     if kernel_device and args.kernel_cache and os.path.exists(
             args.kernel_cache):
         # independent check: sampled device-built entries vs the f64 host
@@ -292,6 +292,10 @@ def main():
                          "then starts from the flat 0.001 model)")
     ap.add_argument("--cg-maxk", dest="cg_maxk", type=int, default=200,
                     help="global: CG warm-start iteration budget")
+    ap.add_argument("--store-thin", dest="store_thin", type=int, default=1,
+                    help="global: chain-store thinning stride — the "
+                         "buffer then spans thin*nsamples iterations "
+                         "(the ESS lever for slow-mixing targets)")
     ap.add_argument("--setpmts", default=None,
                     help="reference-format SetPMTS.txt (JSON lines)")
     ap.add_argument("--attempt", type=int, default=0,

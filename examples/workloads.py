@@ -369,7 +369,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             sampler="hmc", nwarmup=None, temperature=None,
             adapt_step_size=False, adapt_mass=False, adapt_chunks=10,
             kernel_device=False, transfer_samples=True,
-            cg_warm_start=False, cg_maxk=200, store_mode="accepted"):
+            cg_warm_start=False, cg_maxk=200, store_mode="accepted",
+            store_thin=1):
     """Shared sampling driver (reference: example/*/main_*.py pattern).
 
     ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
@@ -444,7 +445,7 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             write_files=save_folder is not None and transfer_samples,
             adapt_step_size=adapt_step_size, adapt_mass=adapt_mass,
             adapt_chunks=adapt_chunks, transfer_samples=transfer_samples,
-            store_mode=store_mode)
+            store_mode=store_mode, store_thin=store_thin)
         if not transfer_samples:
             # device-resident finish: stats on device, scalars only
             out, _ = device_posterior_summary(module, stats, dobs,

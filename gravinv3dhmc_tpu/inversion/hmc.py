@@ -59,7 +59,8 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
                        wdiag_inv, data_size, log_factor=1000.0,
                        dtype=jnp.float32, shared_L=False, fused_step=None,
                        fused_trajectory=None, fused_iteration=None,
-                       welford=False, store_mode="accepted"):
+                       welford=False, store_mode="accepted",
+                       store_thin=1):
     """Build the jitted chunk kernel with a device-resident sample buffer.
 
     ``potential_fn(x, alpha) -> (U, grad, (dpre, U_data, U_model))`` must be
@@ -175,23 +176,29 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             buf_k = buf_k.at[chain_ix, idx].set(
                 k_rows, mode="drop", unique_indices=True)
         elif store_mode == "chain":
-            # every-iteration storage at a SHARED slot: one
-            # dynamic_update_slice (in-place in the scan), skipped by a
-            # scalar cond once the buffer is full
+            # every store_thin-th iteration's post-accept state at a
+            # SHARED slot: one dynamic_update_slice (in-place in the
+            # scan), skipped by a scalar cond otherwise. Thinning makes
+            # the stored window span store_thin * nsamples iterations —
+            # the ESS lever for slow-mixing targets (thinned MCMC
+            # estimates lose almost nothing when autocorrelation >> 1).
             rel = store_base + it
 
             def do_store(bufs):
                 bm, bk = bufs
                 m_rows, k_rows = make_rows()
-                slot = jnp.clip(rel - ndraws, 0, nsamples - 1)
+                slot = jnp.clip((rel - ndraws) // store_thin, 0,
+                                nsamples - 1)
                 bm = lax.dynamic_update_slice_in_dim(
                     bm, m_rows[:, None, :], slot, axis=1)
                 bk = lax.dynamic_update_slice_in_dim(
                     bk, k_rows[:, None, :], slot, axis=1)
                 return bm, bk
 
+            span = ndraws + nsamples * store_thin
             buf_m, buf_k = lax.cond(
-                (rel >= ndraws) & (rel < total), do_store,
+                (rel >= ndraws) & (rel < span)
+                & ((rel - ndraws) % store_thin == 0), do_store,
                 lambda bufs: bufs, (buf_m, buf_k))
         nacc = nacc + accept.astype(nacc.dtype)
 
@@ -504,6 +511,11 @@ class HamiltonianMC:
         #: dynamic_update_slice instead of a scatter, ~7 ms/iteration
         #: cheaper at the 1.6 GB bench scale)
         self.store_mode = "accepted"
+        #: chain-mode thinning stride: store every k-th iteration so the
+        #: buffer spans k*nsamples iterations (the ESS lever when the
+        #: target mixes slowly; thinned estimates lose almost nothing at
+        #: autocorrelation >> 1)
+        self.store_thin = 1
         #: transfer the posterior sample buffers to host at the end of
         #: sample(). Set False on a high-latency/tunnelled device link:
         #: the run then moves ONLY scalars end to end — ESS is computed on
@@ -710,7 +722,8 @@ class HamiltonianMC:
                       or fused_iter is not None),
             fused_step=fused, fused_trajectory=fused_traj,
             fused_iteration=fused_iter,
-            welford=self.adapt_mass, store_mode=self.store_mode)
+            welford=self.adapt_mass, store_mode=self.store_mode,
+            store_thin=self.store_thin)
 
         x = jnp.asarray(x0, dtype)
         U, g, (_, u_data, u_model) = potential_fn(x, self.RegulFactor)
@@ -818,12 +831,14 @@ class HamiltonianMC:
             from .nuts import dual_averaging_init, dual_averaging_update
             da = dual_averaging_init(dt_cur, target=self.adapt_target)
         # chain store_mode: storage progress is ITERATION-driven (every
-        # iteration stores the post-accept state once the kernel is
-        # frozen); accepted mode waits for per-chain accept counts
+        # store_thin-th iteration stores the post-accept state once the
+        # kernel is frozen); accepted mode waits for per-chain accept
+        # counts
         STORE_OFF = -(2 ** 30)  # rel stays < ndraws -> the cond skips
+        chain_span = ndraws + nsamples * self.store_thin
 
         def storage_done():
-            return (store_iters >= total) if chain_mode \
+            return (store_iters >= chain_span) if chain_mode \
                 else (acc_min >= total)
 
         while not (storage_done() and frozen):
@@ -861,7 +876,7 @@ class HamiltonianMC:
             if counted:
                 store_iters += self.chunk_size
             if self.verbose:
-                frac = (min(store_iters / total, 1.0) if chain_mode
+                frac = (min(store_iters / chain_span, 1.0) if chain_mode
                         else min(acc_min / total, 1.0))
                 ratio = acc_sum / attempted
                 ud_l = float(ud_d)
@@ -963,9 +978,12 @@ class HamiltonianMC:
 
         accepted = np.asarray(carry[5]).astype(np.int64)  # (C,) ints
         if chain_mode:
-            # every chain stores at every post-freeze iteration
-            n_stored = np.full(C, min(max(store_iters - ndraws, 0),
-                                      nsamples), dtype=np.int64)
+            # every chain stores at every store_thin-th post-freeze
+            # iteration
+            done_iters = max(store_iters - ndraws, 0)
+            n_stored = np.full(
+                C, min((done_iters + self.store_thin - 1)
+                       // self.store_thin, nsamples), dtype=np.int64)
         else:
             n_stored = np.minimum(np.maximum(accepted - ndraws, 0),
                                   nsamples)
@@ -1055,7 +1073,7 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
               verbose=True, write_files=True, adapt_step_size=False,
               adapt_target=0.8, adapt_mass=False, adapt_chunks=10,
               shared_L=False, use_fused=False, transfer_samples=True,
-              store_mode="accepted"):
+              store_mode="accepted", store_thin=1):
     """Reference-compatible chain factory (inversion/hmc.py:358-403).
 
     ``nchains`` extends the reference: instead of one chain per MPI rank,
@@ -1091,6 +1109,7 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
     chain.use_fused = use_fused
     chain.transfer_samples = transfer_samples
     chain.store_mode = store_mode
+    chain.store_thin = store_thin
 
     boundaries = np.asarray(boundaries, dtype=np.float64)
     # device-resident weighting (kernel_device path) scales on device —

@@ -97,6 +97,26 @@ def test_chain_store_mode_records_post_accept_state(small_module):
     assert np.isfinite(b["misfits"][:, :24]).all()
 
 
+def test_chain_store_thinning(small_module):
+    """store_thin=k stores every k-th post-accept state: the buffer must
+    fill completely, spanning k*nsamples iterations, and the thinned
+    rows must be a subsequence of the unthinned chain-mode buffer for
+    the same seed."""
+    module, dobs, _ = small_module
+    a = _chain(module, dobs)
+    a.store_mode = "chain"
+    ra = a.sample(24, 0)
+    b = _chain(module, dobs)
+    b.store_mode = "chain"
+    b.store_thin = 3
+    rb = b.sample(8, 0)
+    assert int(rb["n_stored"].min()) == 8
+    # identical PRNG stream: thinned row j == unthinned row 3*j
+    np.testing.assert_allclose(rb["samples"][:, :8],
+                               ra["samples"][:, 0:24:3], rtol=1e-6,
+                               atol=1e-8)
+
+
 def test_chain_store_mode_with_warmup_storage_reset(small_module):
     """chain mode + windowed warmup: the storage gate must hold (all
     stored samples post-freeze) and n_stored reach nsamples."""
