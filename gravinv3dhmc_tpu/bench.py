@@ -338,7 +338,7 @@ def main():
     # tunnelled TPU claim at once (measured: concurrent claims wedge it)
     use_fused_env = os.environ.get("BENCH_FUSED", "1") != "0"
     iter_tile_ok = None
-    if use_fused_env and os.environ.get("BENCH_ITER", "0") == "1":
+    if use_fused_env and os.environ.get("BENCH_ITER", "1") != "0":
         import subprocess
         tile_env = os.environ.get("BENCH_TILE_C")
         for tile_c in ([int(tile_env)] if tile_env else [128, 64]):
@@ -379,11 +379,11 @@ def main():
     fused_iter = None
     fused_mode = "off"
     # full-iteration kernel (momentum refresh + accept in-kernel via the
-    # hardware PRNG). Hardware-validated (accept matches the XLA path to
-    # 3 decimals) but measured SLOWER end-to-end than trajectory+wrapper
-    # (3.68M vs 5.59M grad-evals/s at bench scale — the in-kernel
-    # Box-Muller pays ~1.2 ms/call of VPU transcendentals), so it is
-    # opt-in via BENCH_ITER=1 until the refresh epilogue is cheaper
+    # hardware PRNG): the fastest path since the paired 16-bit Box-Muller
+    # refresh (one u32 draw per TWO normals) — measured 5.47M vs 5.11M
+    # grad-evals/s for trajectory+wrapper at bench scale, statistically
+    # identical accept/ESS. BENCH_ITER=0 falls back to the trajectory
+    # kernel
     if use_fused and iter_tile_ok is not None:
         from gravinv3dhmc_tpu.ops.leapfrog_pallas import (
             make_fused_iteration,

@@ -494,9 +494,10 @@ class HamiltonianMC:
         #: collapses the accept rate; bench.py round-3 note).
         self.fused_matvec_dtype = None
         #: prefer the full-iteration kernel (momentum refresh + accept
-        #: in-kernel) over the trajectory kernel. Hardware-validated but
-        #: currently slower end-to-end (see _build_fused); off by default.
-        self.prefer_iteration_kernel = False
+        #: in-kernel) over the trajectory kernel — the fastest path since
+        #: the paired 16-bit Box-Muller refresh (5.47M vs 5.11M
+        #: grad-evals/s at bench scale, statistically identical).
+        self.prefer_iteration_kernel = True
         #: allow the per-step kernel as last-resort fused fallback. At
         #: VMEM-heavy scales (realdata f32) it measured ~3x slower than
         #: the XLA path — set False to fall straight back to XLA when the

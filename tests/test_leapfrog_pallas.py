@@ -297,9 +297,20 @@ def test_fused_iteration_matches_trajectory(small_module, reg):
         x1, U1, g1, ud1, um1, acc = it(x0, U0, g0, ud0, um0,
                                        jnp.int32(7), jnp.int32(L), eps,
                                        alpha, params=it.params)
-    # stubbed PRNG: every momentum coordinate is the same known constant
-    n01 = np.sqrt(-2.0 * np.log(np.float32(2.0 ** -25)))
-    p0 = jnp.full((C, M), Sigma * np.float32(n01), jnp.float32)
+    # stubbed PRNG (zeros): the refresh becomes a known deterministic
+    # pattern. Paired 16-bit path (padded width divisible by 256):
+    # sqrt(-2 ln 2^-17) on the first half of the padded columns (cos
+    # branch), exactly 0 on the second (sin). Fallback full-width path:
+    # sqrt(-2 ln 2^-25) everywhere.
+    Mp = -(-M // 128) * 128
+    p0_np = np.zeros((C, M), np.float32)
+    if Mp % 256 == 0:
+        n16 = np.sqrt(-2.0 * np.log(np.float32(2.0 ** -17)))
+        p0_np[:, :min(Mp // 2, M)] = Sigma * np.float32(n16)
+    else:
+        n24 = np.sqrt(-2.0 * np.log(np.float32(2.0 ** -25)))
+        p0_np[:, :] = Sigma * np.float32(n24)
+    p0 = jnp.asarray(p0_np)
     p_half = p0 - 0.5 * eps * g0
     xt, pt, gt, Ut, udt, umt = traj(x0, p_half, jnp.int32(L), eps, alpha,
                                     params=traj.params)
