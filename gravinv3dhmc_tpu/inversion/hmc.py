@@ -216,7 +216,7 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
         return (x, U, g, u_data, u_model, nacc, buf_m, buf_k), stats
 
     def one_iteration(carry, key_P):
-        key, it, P, dt, inv_mass, fprm, store_base = key_P
+        key, it, P, dt, inv_mass, fprm, store_base, salt, git0 = key_P
         if welford:
             (x, U, g, u_data, u_model, nacc, buf_m, buf_k,
              w_mean, w_m2, w_count) = carry
@@ -229,13 +229,17 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             # the WHOLE iteration in one kernel call (momentum refresh,
             # trajectory, accept, select — ops/leapfrog_pallas.py
             # make_fused_iteration). The PRNG is the in-kernel hardware
-            # generator seeded from this iteration's key, a different
-            # stream than the XLA path's threefry (statistically
-            # equivalent, not bit-reproducible against it).
+            # generator, a different stream than the XLA path's threefry
+            # (statistically equivalent, not bit-reproducible against
+            # it). Its 2-word seed is (per-run salt, global iteration
+            # counter) — unique per iteration BY CONSTRUCTION; the
+            # kernel mixes in the chain tile. A single random int32
+            # per iteration would birthday-collide in the 2^31 space
+            # over ~30k+ iterations, replaying a tile's refresh/accept
+            # stream at two different iterations.
             L_scalar = random.randint(kL, (), Lmin, Lmax + 1)
             L = jnp.full((C,), L_scalar)
-            seed = random.randint(kp, (), 0, jnp.iinfo(jnp.int32).max,
-                                  dtype=jnp.int32)
+            seed = jnp.stack([salt, git0 + it])
             (x, U, g, u_data, u_model, accf) = fused_iteration(
                 x, U, g, u_data, u_model, seed, L_scalar, dt, alpha_c,
                 params=fprm, inv_mass=inv_mass)
@@ -412,9 +416,17 @@ def make_chunk_sampler(potential_fn, *, dt, Lmin, Lmax, Sigma, low, high,
             inv_mass = jnp.asarray(inv_mass, dtype)
         key = random.fold_in(base_key, chunk_idx)
         keys = random.split(key, chunk_size)
+        # fused-path hardware-PRNG seed words: one random salt per run
+        # (derived from base_key only, so every chunk re-derives the
+        # same value) + a global iteration counter — unique streams by
+        # construction (see one_iteration)
+        salt = random.randint(random.fold_in(base_key, 0x5417), (), 0,
+                              jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        git0 = jnp.asarray(chunk_idx, jnp.int32) * chunk_size
         carry, stats = lax.scan(
             lambda c, ki: one_iteration(
-                c, (ki[0], ki[1], params, dt, inv_mass, fprm, store_base)),
+                c, (ki[0], ki[1], params, dt, inv_mass, fprm, store_base,
+                    salt, git0)),
             carry, (keys, jnp.arange(chunk_size, dtype=jnp.int32)))
         return carry, stats
 
@@ -510,7 +522,13 @@ class HamiltonianMC:
         #: chain); 'chain' = textbook MH estimator (post-accept state
         #: every iteration, shared slot — one in-place
         #: dynamic_update_slice instead of a scatter, ~7 ms/iteration
-        #: cheaper at the 1.6 GB bench scale)
+        #: cheaper at the 1.6 GB bench scale). 'accepted' stays the
+        #: DEFAULT for reference parity only — existing post-processing
+        #: compares sample files row-for-row against the reference's
+        #: accepted-only model.dat. It costs +0.36 ms/iteration at bench
+        #: scale (tools/roofline.json accepted_mode_extra); new
+        #: throughput-critical runs should pass store_mode='chain' (the
+        #: bench and the global flagship both do).
         self.store_mode = "accepted"
         #: chain-mode thinning stride: store every k-th iteration so the
         #: buffer spans k*nsamples iterations (the ESS lever when the
@@ -600,10 +618,10 @@ class HamiltonianMC:
                           f"(cap 120 MB)", flush=True)
                 continue
             # full-iteration kernel (dual-resident only — validated on
-            # hardware: accept matches the XLA path to 3 decimals, but
-            # its in-kernel Box-Muller costs ~1.2 ms/call of VPU
-            # transcendentals, measuring SLOWER than trajectory+wrapper
-            # at bench scale — so opt-in)
+            # hardware: accept matches the XLA path to 3 decimals). The
+            # paired 16-bit Box-Muller refresh (one u32 per two normals)
+            # made it the FASTEST path (5.47M vs 5.11M grad-evals/s at
+            # bench scale), hence prefer_iteration_kernel defaults True.
             if (self.prefer_iteration_kernel
                     and traj_vmem_feasible(D, M, tile_c, mv_dtype)):
                 try:
@@ -753,6 +771,10 @@ class HamiltonianMC:
                 checkpoint_path, like_carry=carry)
             meta = dict(meta)
             store_iters = int(meta.pop("store_iters", 0))
+            # checkpoints written before store_mode existed imply the
+            # then-only 'accepted' discipline — default it like
+            # store_iters instead of failing the equality check
+            meta.setdefault("store_mode", "accepted")
             if meta != ckpt_meta:
                 raise ValueError(
                     f"checkpoint config mismatch: {meta} != {ckpt_meta}")

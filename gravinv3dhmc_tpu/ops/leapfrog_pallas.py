@@ -470,7 +470,12 @@ def _iter_kernel(scal_ref, L_ref, seed_ref, x_ref, g_ref, U_ref, ud_ref,
     # resolution truncates the refresh at ~4.9 sigma, irrelevant for a
     # momentum draw. Falls back to full-width draws when the half-tile
     # is not lane-aligned.
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # 3-word seed material, mixed by the hardware PRNG: (per-run salt,
+    # global iteration counter, chain tile). Streams are unique by
+    # construction within a run — the earlier single-word random seed
+    # risked birthday collisions in the 2^31 space over ~30k+
+    # iterations, replaying a tile's momentum/accept stream.
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
     shape = x_in.shape
 
     def u24(bits):
@@ -647,7 +652,10 @@ def make_fused_iteration(A, dobs_centered, grav_fix, aprior, wm_sq, low,
         gp = jnp.pad(g, ((0, 0), (0, Mp - M)))
         scal = jnp.stack([eps, alpha]).astype(jnp.float32).reshape(1, 2)
         Ls = jnp.asarray(L, jnp.int32).reshape(1)
-        seeds = jnp.asarray(seed, jnp.int32).reshape(1)
+        # seed: scalar (legacy, second word 0) or (salt, counter) pair
+        seeds = jnp.asarray(seed, jnp.int32).reshape(-1)
+        if seeds.shape[0] == 1:
+            seeds = jnp.concatenate([seeds, jnp.zeros(1, jnp.int32)])
         n_tiles = C // tile_c
         tile_map = lambda i: (jax.lax.convert_element_type(i, np.int32),
                               np.int32(0))
@@ -667,8 +675,8 @@ def make_fused_iteration(A, dobs_centered, grav_fix, aprior, wm_sq, low,
                 pl.BlockSpec((1, 2), zero_map, memory_space=pltpu.SMEM),
                 pl.BlockSpec((1,), lambda i: (np.int32(0),),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1,), lambda i: (np.int32(0),),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((2,), lambda i: (np.int32(0),),
+                             memory_space=pltpu.SMEM),    # 2-word seed
                 vspec((tile_c, Mp), tile_map),            # x
                 vspec((tile_c, Mp), tile_map),            # g
                 vspec((tile_c, 1), tile_map),             # U

@@ -50,7 +50,12 @@ def _safe_atan2(y, x, xp):
     res = xp.arctan2(y, x)
     res = xp.where((y > 0) & (x < 0), res - np.pi, res)
     res = xp.where((y < 0) & (x < 0), res + np.pi, res)
-    return res
+    # reference convention: y == 0 -> 0 REGARDLESS of x's sign
+    # (gravmag/_prism.pyx:17-19). numpy's atan2(0, x<0) is +-pi, which
+    # would shift gx/gy/tensor kernels by O(pi) per corner for
+    # observation points lying exactly in a corner-aligned plane
+    # (e.g. dy == 0 with dx < 0 in kernelx's atan2(dz*dy, dx*r)).
+    return xp.where(y == 0, xp.zeros_like(res), res)
 
 
 # --------------------------------------------------------------------------
