@@ -25,6 +25,27 @@ import numpy as np
 import workloads as W
 
 
+def _spmd_mesh(args):
+    """Build the (chains, model) device mesh for --multichip runs
+    (reference analogue: the mpiexec launcher, run_main.sh:16-20 — but
+    sharing ONE kernel matrix column-sharded over ICI instead of every
+    rank rebuilding its own copy)."""
+    if not args.multichip:
+        return None
+    import jax
+    from gravinv3dhmc_tpu.parallel import make_mesh
+    n = len(jax.devices()) if args.multichip < 0 else args.multichip
+    mesh = make_mesh(n)
+    if not args.quiet:
+        print(f"multichip: mesh {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"over {n} {jax.devices()[0].platform} devices", flush=True)
+    if args.nchains % mesh.shape["chains"] != 0:
+        raise SystemExit(
+            f"--nchains {args.nchains} must tile the 'chains' mesh axis "
+            f"({mesh.shape['chains']})")
+    return mesh
+
+
 def cmd_hmc(args, builder, **defaults):
     wl = builder()
     dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise)
@@ -39,7 +60,8 @@ def cmd_hmc(args, builder, **defaults):
                   temperature=args.temperature,
                   adapt_step_size=args.adapt_step_size,
                   adapt_mass=args.adapt_mass,
-                  adapt_chunks=args.adapt_chunks)
+                  adapt_chunks=args.adapt_chunks,
+                  spmd_mesh=_spmd_mesh(args))
     params.update(defaults)
     module, stats, mean, std, out = W.run_hmc(wl, dobs, **params)
     out["workload"] = args.workload
@@ -296,6 +318,16 @@ def main():
                     help="global: chain-store thinning stride — the "
                          "buffer then spans thin*nsamples iterations "
                          "(the ESS lever for slow-mixing targets)")
+    ap.add_argument("--multichip", type=int, nargs="?", const=-1,
+                    default=0, metavar="N",
+                    help="run the HMC sampler SPMD over an N-device "
+                         "(chains, model) mesh (bare flag = all "
+                         "available devices): kernel columns shard over "
+                         "'model' (matvec psum over ICI), the chain "
+                         "batch over 'chains'. The reference's analogue "
+                         "is mpiexec -n N (run_main.sh:16-20). Test on "
+                         "CPU with XLA_FLAGS=--xla_force_host_platform_"
+                         "device_count=8 JAX_PLATFORMS=cpu")
     ap.add_argument("--setpmts", default=None,
                     help="reference-format SetPMTS.txt (JSON lines)")
     ap.add_argument("--attempt", type=int, default=0,

@@ -370,7 +370,7 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             adapt_step_size=False, adapt_mass=False, adapt_chunks=10,
             kernel_device=False, transfer_samples=True,
             cg_warm_start=False, cg_maxk=200, store_mode="accepted",
-            store_thin=1):
+            store_thin=1, spmd_mesh=None):
     """Shared sampling driver (reference: example/*/main_*.py pattern).
 
     ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
@@ -391,6 +391,12 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
     uncertainty around it"): with the reference's Sigma-tempered kinetic
     the HMC posterior is a narrow ball around its start, so starting at
     the MAP is what makes the whole-Earth posterior fit the data.
+
+    ``spmd_mesh`` (a parallel.make_mesh (chains, model) mesh) runs the
+    fixed-L HMC sampler SPMD over multiple chips: kernel columns sharded
+    over 'model', the chain batch over 'chains' (the reference's
+    analogue is mpiexec ranks, run_main.sh:16-20). The full warmup
+    adaptation and chain-store feature set rides along (hmc.spmd_mesh).
     """
     mesh_kwargs = dict(wl.get("mesh_kwargs", {}))
     t0 = time.time()
@@ -430,6 +436,10 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
                   f"RMSD {cg_info['RMSD']:.2f}, "
                   f"{cg_info['elapsed_s']:.1f}s", flush=True)
         initial = cg["m"]  # device (M,) — stays on device end to end
+    if spmd_mesh is not None and sampler != "hmc":
+        raise ValueError("--multichip currently drives the fixed-L HMC "
+                         "sampler only (nuts/chees vmap chains on one "
+                         "device)")
     if sampler == "hmc":
         if temperature is not None:
             raise ValueError(
@@ -445,7 +455,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             write_files=save_folder is not None and transfer_samples,
             adapt_step_size=adapt_step_size, adapt_mass=adapt_mass,
             adapt_chunks=adapt_chunks, transfer_samples=transfer_samples,
-            store_mode=store_mode, store_thin=store_thin)
+            store_mode=store_mode, store_thin=store_thin,
+            spmd_mesh=spmd_mesh)
         if not transfer_samples:
             # device-resident finish: stats on device, scalars only
             out, _ = device_posterior_summary(module, stats, dobs,

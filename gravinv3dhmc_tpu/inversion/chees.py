@@ -170,6 +170,17 @@ def run_chees(potential_fn, x0_batch, key, *, n_warmup=200, n_samples=500,
         warm_accept=warm_stats[0], warm_L=warm_stats[1],
         warm_T=warm_stats[2],
         accept=samp_stats[0], L=samp_stats[1],
+        # the REALIZED trajectory cost: when the adapted T/eps ratio
+        # exceeds max_steps the clip at :89 silently caps L, and the
+        # reported trajectory_time no longer describes what ran (the
+        # round-4 scale-0.5 artifact showed step_size 1.2e-8 with
+        # T=0.226 — ~1.9e7 implied steps — without saying L was capped
+        # at max_steps). mean_L and the saturation fraction make the
+        # cost model honest and the run reproducible.
+        mean_L=jnp.mean(samp_stats[1]),
+        max_steps=jnp.asarray(max_steps, jnp.int32),
+        max_steps_saturated=jnp.mean(
+            (samp_stats[1] >= max_steps).astype(jnp.float32)),
     )
     return xs, stats
 
@@ -178,7 +189,8 @@ def CheesSample(model, nsamples, nwarmup, initial_model, aprior_model,
                 boundaries, dobs, RegulFactor=1.0, regularization="Damping",
                 beta=0.01, seed=100, log_factor=100.0, step_size0=0.05,
                 target_accept=0.75, myrank=0, save_folder=None, nchains=16,
-                dtype=jnp.float32, verbose=True, temperature=1.0):
+                dtype=jnp.float32, verbose=True, temperature=1.0,
+                max_steps=1024):
     """Multi-chain ChEES-HMC on a :class:`GravMagModule` potential —
     the ensemble counterpart of :func:`nuts.NUTSSample`."""
     from .potential import logistic_to_mw, mw_to_logistic
@@ -212,7 +224,8 @@ def CheesSample(model, nsamples, nwarmup, initial_model, aprior_model,
             return u, g
         return run_chees(pot_batch, xb, key, n_warmup=nwarmup,
                          n_samples=nsamples, step_size0=step_size0,
-                         target_accept=target_accept, dtype=dtype)
+                         target_accept=target_accept, dtype=dtype,
+                         max_steps=max_steps)
 
     runner = jax.jit(_run)
     import time as _time
@@ -231,6 +244,9 @@ def CheesSample(model, nsamples, nwarmup, initial_model, aprior_model,
         "trajectory_time": float(np.asarray(stats["trajectory_time"])),
         "mean_accept": float(np.mean(np.asarray(stats["accept"]))),
         "mean_L": float(np.mean(np.asarray(stats["L"]))),
+        "max_steps": int(np.asarray(stats["max_steps"])),
+        "max_steps_saturated": float(
+            np.asarray(stats["max_steps_saturated"])),
         "elapsed_s": elapsed,
         "grad_evals": int(np.asarray(stats["L"]).sum()
                           + np.asarray(stats["warm_L"]).sum()),

@@ -535,6 +535,20 @@ class HamiltonianMC:
         #: target mixes slowly; thinned estimates lose almost nothing at
         #: autocorrelation >> 1)
         self.store_thin = 1
+        #: multi-chip SPMD: a (chains, model) ``jax.sharding.Mesh``
+        #: (parallel.make_mesh). When set, sample() builds the potential
+        #: via parallel.make_sharded_potential — the kernel matrix is
+        #: column-sharded over 'model' (matvec psum rides ICI) and the
+        #: chain batch shards over 'chains' — and places the whole carry
+        #: (state, sample buffers, Welford moments) with matching
+        #: NamedShardings, so the COMPLETE feature set (windowed warmup,
+        #: chain store, thinning, checkpointing) runs sharded. Requires
+        #: the 'mandatory' constraint and a materialised kernel matrix;
+        #: nchains must tile the 'chains' axis. The fused Pallas kernels
+        #: are skipped (a pallas_call would force an all-gather of the
+        #: sharded matrix). The reference's analogue was mpiexec ranks
+        #: that each rebuilt the full kernel (run_main.sh:18).
+        self.spmd_mesh = None
         #: transfer the posterior sample buffers to host at the end of
         #: sample(). Set False on a high-latency/tunnelled device link:
         #: the run then moves ONLY scalars end to end — ESS is computed on
@@ -702,10 +716,35 @@ class HamiltonianMC:
         total = nsamples + ndraws
         dtype = self.dtype
 
-        potential_fn = self.model.make_potential(
-            self.aprior_model, self.low, self.high,
-            constraint=self.constraint, log_factor=self.log_factor,
-            regularization=self.regularization, beta=self.beta, dtype=dtype)
+        if self.spmd_mesh is not None:
+            # multi-chip: column-sharded kernel + sharded chain batch
+            # (parallel/sharded.py). Same (fn, params) Potential
+            # interface, so everything below — adaptation, storage,
+            # checkpointing — runs unchanged over the sharded arrays.
+            from ..parallel.sharded import make_sharded_potential
+            if self.constraint != "mandatory":
+                raise ValueError("spmd_mesh supports the 'mandatory' "
+                                 "boundary constraint only")
+            mod = self.model
+            if getattr(mod, "Aw", None) is None:
+                raise ValueError("spmd_mesh needs a materialised kernel "
+                                 "matrix (module.Aw)")
+            active = getattr(getattr(mod, "mesh", None), "active", None)
+            potential_fn, _ = make_sharded_potential(
+                self.spmd_mesh, mod.Aw, self.dobs, self.aprior_model,
+                self.low, self.high,
+                grav_fix=(np.asarray(mod.grav_fix)
+                          if getattr(mod, "fixed", False) else None),
+                regularization=self.regularization, beta=self.beta,
+                wm_sq=np.asarray(mod.wdiag) ** 2,
+                mshape=getattr(mod, "mshape", None), active=active,
+                dtype=dtype)
+        else:
+            potential_fn = self.model.make_potential(
+                self.aprior_model, self.low, self.high,
+                constraint=self.constraint, log_factor=self.log_factor,
+                regularization=self.regularization, beta=self.beta,
+                dtype=dtype)
 
         # convert m-domain init to the optimisation variable x. A
         # device-resident initial model (e.g. the cg_device warm start at
@@ -726,7 +765,8 @@ class HamiltonianMC:
                 "logarithmic)!")
 
         fused, fused_traj, fused_iter = (
-            self._build_fused(nsamples) if self.use_fused
+            self._build_fused(nsamples)
+            if self.use_fused and self.spmd_mesh is None
             else (None, None, None))
         run_chunk = make_chunk_sampler(
             potential_fn, dt=self.dt, Lmin=self.Lrange[0],
@@ -745,6 +785,12 @@ class HamiltonianMC:
             store_thin=self.store_thin)
 
         x = jnp.asarray(x0, dtype)
+        spmd_shards = None
+        if self.spmd_mesh is not None:
+            from ..parallel.sharded import carry_shardings
+            spmd_shards = carry_shardings(self.spmd_mesh,
+                                          welford=self.adapt_mass)
+            x = jax.device_put(x, spmd_shards[0])
         U, g, (_, u_data, u_model) = potential_fn(x, self.RegulFactor)
         pot_params = getattr(potential_fn, "params", None)
         base_key = random.fold_in(random.PRNGKey(self.seed), self.myrank)
@@ -756,6 +802,12 @@ class HamiltonianMC:
             carry = carry + (jnp.zeros((C, M), dtype),
                              jnp.zeros((C, M), dtype),
                              jnp.zeros((), dtype))
+        if spmd_shards is not None:
+            # place every carry leaf (state, 7-col stats, sample buffers,
+            # Welford moments) on the mesh so the donated chunk jit keeps
+            # the layout instead of replicating the big buffers
+            carry = tuple(jax.device_put(c, s)
+                          for c, s in zip(carry, spmd_shards))
         start_chunk = 0
         chain_mode = self.store_mode == "chain"
         store_iters = 0  # iterations run with storage active (chain mode)
@@ -1096,7 +1148,7 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
               verbose=True, write_files=True, adapt_step_size=False,
               adapt_target=0.8, adapt_mass=False, adapt_chunks=10,
               shared_L=False, use_fused=False, transfer_samples=True,
-              store_mode="accepted", store_thin=1):
+              store_mode="accepted", store_thin=1, spmd_mesh=None):
     """Reference-compatible chain factory (inversion/hmc.py:358-403).
 
     ``nchains`` extends the reference: instead of one chain per MPI rank,
@@ -1133,6 +1185,7 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
     chain.transfer_samples = transfer_samples
     chain.store_mode = store_mode
     chain.store_thin = store_thin
+    chain.spmd_mesh = spmd_mesh
 
     boundaries = np.asarray(boundaries, dtype=np.float64)
     # device-resident weighting (kernel_device path) scales on device —

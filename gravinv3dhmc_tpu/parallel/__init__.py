@@ -1,5 +1,7 @@
 """Multi-chip distribution: sharded kernel matvec + chain parallelism."""
 from . import multihost
-from .sharded import make_mesh, make_sharded_chunk_sampler, make_sharded_potential
+from .sharded import (carry_shardings, make_mesh, make_sharded_chunk_sampler,
+                      make_sharded_potential)
 
-__all__ = ["make_mesh", "make_sharded_potential", "make_sharded_chunk_sampler", "multihost"]
+__all__ = ["make_mesh", "make_sharded_potential",
+           "make_sharded_chunk_sampler", "carry_shardings", "multihost"]

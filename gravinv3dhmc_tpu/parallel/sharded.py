@@ -181,35 +181,76 @@ def make_sharded_potential(mesh, Aw, dobs, aprior_mw, low, high,
     return pot, shardings
 
 
+def carry_shardings(mesh, welford=False):
+    """NamedShardings of one sampler-carry tuple, positionally matching
+    ``make_chunk_sampler``'s carry layout: chain state P('chains',
+    'model'), per-chain scalars P('chains'), sample buffers
+    P('chains', None, 'model') / P('chains', None), and (welford) the
+    running moments like the chain state with a replicated count."""
+    xsh = NamedSharding(mesh, P("chains", "model"))
+    csh = NamedSharding(mesh, P("chains"))
+    bufm_sh = NamedSharding(mesh, P("chains", None, "model"))
+    bufk_sh = NamedSharding(mesh, P("chains", None))
+    sh = (xsh, csh, xsh, csh, csh, csh, bufm_sh, bufk_sh)
+    if welford:
+        sh = sh + (xsh, xsh, NamedSharding(mesh, P()))
+    return sh
+
+
 def make_sharded_chunk_sampler(mesh, potential_fn, *, low, high, M, nchains,
                                nsamples, ndraws, wdiag_inv, data_size,
                                dt=0.01, Lmin=5, Lmax=20, Sigma=0.001,
                                constraint="mandatory", alpha=1.0,
-                               chunk_size=8, dtype=jnp.float32):
+                               chunk_size=8, dtype=jnp.float32,
+                               shared_L=False, welford=False,
+                               store_mode="accepted", store_thin=1):
     """The full sharded training step: one jitted chunk of HMC iterations.
 
     Chain state is sharded P('chains', 'model'); the device-resident sample
     buffer P('chains', None, 'model'). Returns (run_chunk, init_carry_fn).
+
+    The sampler features are at parity with the single-chip
+    :func:`hmc.make_chunk_sampler` (round-4 froze this wrapper at the
+    round-2 argument set): ``shared_L`` (one trajectory-length draw per
+    iteration — on a sharded mesh also the configuration whose matvecs
+    stay in lockstep across devices), ``welford`` (per-chain running
+    moments for the windowed warmup metric; the moment buffers shard
+    like the chain state), ``store_mode``/``store_thin`` (in-place
+    chain-store vs reference-parity accepted-store), and ``run_chunk``'s
+    ``dt``/``inv_mass``/``store_base`` runtime arguments, so
+    :class:`hmc.HamiltonianMC`'s full adaptation schedule runs on the
+    sharded path (see its ``spmd_mesh`` attribute).
+
+    The fused Pallas kernels are deliberately NOT offered here: a
+    pallas_call consumes whole arrays, which under GSPMD would force an
+    all-gather of the column-sharded kernel matrix onto every device —
+    exactly what sharding exists to avoid. The XLA path's matvecs
+    partition cleanly (psum over 'model').
     """
     run_chunk = hmc_mod.make_chunk_sampler(
         potential_fn, dt=dt, Lmin=Lmin, Lmax=Lmax, Sigma=Sigma, low=low,
         high=high, constraint=constraint, alpha=alpha,
         chunk_size=chunk_size, nsamples=nsamples, ndraws=ndraws,
-        wdiag_inv=wdiag_inv, data_size=data_size, dtype=dtype)
+        wdiag_inv=wdiag_inv, data_size=data_size, dtype=dtype,
+        shared_L=shared_L, welford=welford, store_mode=store_mode,
+        store_thin=store_thin)
 
-    xsh = NamedSharding(mesh, P("chains", "model"))
-    csh = NamedSharding(mesh, P("chains"))
-    bufm_sh = NamedSharding(mesh, P("chains", None, "model"))
-    bufk_sh = NamedSharding(mesh, P("chains", None))
+    shards = carry_shardings(mesh, welford=welford)
 
     def init_carry(x0):
-        x = jax.device_put(jnp.asarray(x0, dtype), xsh)
+        x = jax.device_put(jnp.asarray(x0, dtype), shards[0])
         U, g, (_, u_data, u_model) = potential_fn(x, alpha)
-        return (
+        carry = (
             x, U, g, u_data, u_model,
-            jax.device_put(jnp.zeros(nchains, jnp.int32), csh),
-            jax.device_put(jnp.zeros((nchains, nsamples, M), dtype), bufm_sh),
-            jax.device_put(jnp.zeros((nchains, nsamples, 7), dtype), bufk_sh),
+            jnp.zeros(nchains, jnp.int32),
+            jnp.zeros((nchains, nsamples, M), dtype),
+            jnp.zeros((nchains, nsamples, 7), dtype),
         )
+        if welford:
+            carry = carry + (jnp.zeros((nchains, M), dtype),
+                             jnp.zeros((nchains, M), dtype),
+                             jnp.zeros((), dtype))
+        return tuple(jax.device_put(c, s)
+                     for c, s in zip(carry, shards))
 
     return run_chunk, init_carry

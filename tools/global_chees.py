@@ -15,9 +15,13 @@ docs/SAMPLERS.md measures at ~1408 ESS/s on the flagship problem).
 Everything stays on device: the (N, C, M) draw buffer, the posterior
 moments, ESS and the re-forward; only scalars cross the tunnelled link.
 
-Writes tools/global_chees.json and prints one JSON line.
+Writes tools/global_chees.json (or $GC_OUT) and prints one JSON line.
 Usage: python tools/global_chees.py  (TPU; ~5-10 min)
-Knobs: GC_NCHAINS (16), GC_NSAMPLES (512), GC_NWARMUP (300), GC_SCALE (1.0)
+Knobs: GC_NCHAINS (16), GC_NSAMPLES (512), GC_NWARMUP (300), GC_SCALE (1.0),
+       GC_MAX_STEPS (1024 — the trajectory-length cap; the adapted
+       step_size can be tiny enough that T/eps >> max_steps, in which
+       case every trajectory runs exactly max_steps and the output's
+       max_steps_saturated flags it), GC_OUT (output JSON path)
 """
 import json
 import os
@@ -52,6 +56,7 @@ def main():
     N = int(os.environ.get("GC_NSAMPLES", "512"))
     Wm = int(os.environ.get("GC_NWARMUP", "300"))
     scale = float(os.environ.get("GC_SCALE", "1.0"))
+    max_steps = int(os.environ.get("GC_MAX_STEPS", "1024"))
     alpha = 5.0
     t_all = time.time()
 
@@ -121,10 +126,12 @@ def main():
     def run(x, key, P, Aw):
         xs, stats = run_chees(lambda xx: pot_batch(xx, P), x, key,
                               n_warmup=Wm, n_samples=N,
-                              step_size0=0.01, dtype=jnp.float32)
+                              step_size0=0.01, dtype=jnp.float32,
+                              max_steps=max_steps)
         out = summarize(xs, Aw)
         return out, (stats["step_size"], jnp.mean(stats["accept"]),
-                     stats["trajectory_time"], jnp.sum(stats["L"]))
+                     stats["trajectory_time"], jnp.sum(stats["L"]),
+                     stats["mean_L"], stats["max_steps_saturated"])
 
     Aw_dev = module.device_arrays(jnp.float32)["Aw"]
     t0 = time.time()
@@ -157,13 +164,21 @@ def main():
         "step_size": float(jnp.asarray(aux[0]).reshape(-1)[0]),
         "trajectory_time": float(jnp.asarray(aux[2]).reshape(-1)[0]),
         "grad_evals": int(C * float(aux[3])),
+        # the realized trajectory cost (verdict r4 Weak #7): with a tiny
+        # adapted step_size the T/eps ratio can exceed max_steps, in
+        # which case the L clip governs — mean_L is what actually ran
+        # and max_steps_saturated is the fraction of capped iterations
+        "mean_L": float(aux[4]),
+        "max_steps": max_steps,
+        "max_steps_saturated": float(aux[5]),
         "compile_s": round(compile_s, 1),
         "sampling_s": round(elapsed, 1),
         "total_s": round(time.time() - t_all, 1),
     }
     res["ess_per_s_median"] = round(res["ess_median"] / elapsed, 2)
-    with open(os.path.join(os.path.dirname(__file__),
-                           "global_chees.json"), "w") as f:
+    out_path = os.environ.get("GC_OUT", os.path.join(
+        os.path.dirname(__file__), "global_chees.json"))
+    with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))
 
