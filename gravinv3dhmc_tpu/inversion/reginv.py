@@ -44,12 +44,12 @@ from .potential import GravMagModule
 def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
                   regularization, beta, q, maxk, rhomin, rhomax,
                   stop_mode, dtype, aprior_mw=None, bootstrap_ms=False,
-                  as_args=False):
+                  as_args=False, fixed_alpha=False):
     """Jitted CG solver over (optionally weighted) rows.
 
-    Returns solve(mw0, row_weights[, arrs]) -> (mw_final, data_hist,
-    model_hist, regul_hist, n_iters). ``row_weights`` are data-row
-    multiplicities (ones = plain CG).
+    Returns solve(mw0, row_weights[, arrs][, alpha]) -> (mw_final,
+    data_hist, model_hist, regul_hist, n_iters). ``row_weights`` are
+    data-row multiplicities (ones = plain CG).
 
     ``as_args=True`` returns a solver taking the large arrays as a
     third ``arrs`` pytree argument ``(Aw, dobs, wdiag, wdiag_inv,
@@ -57,6 +57,17 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
     device-resident kernels: a closure-captured jax.Array becomes a jit
     constant embedded in the executable (gigabytes shipped over the
     tunnelled link per compile; CLAUDE.md build note).
+
+    ``fixed_alpha=True`` replaces the reference's adaptive
+    regularization schedule (alpha=0 at k=0, data/model at k=1, q-decay
+    on stalls — inversion/reginv.py:383-404, which DIVERGES at the
+    whole-Earth scale, GLOBAL_r04 reference_cg_divergence) with a
+    CONSTANT alpha passed at call time: solve(mw0, c, arrs, alpha).
+    Every iteration — including the k=0 steepest-descent step — then
+    minimises the one objective ||A mw - d||^2 + alpha*R(mw) under the
+    hard box projection: the bounded-MAP estimator of the configured
+    family (the fixed-alpha ladder that closes the resolution-limit
+    argument).
     """
     from ..ops import fd
 
@@ -76,10 +87,12 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
     q = float(q)
     act = jnp.asarray(active3d) if active3d is not None else None
 
-    def solve(mw0, c, arrs=None):
+    def solve(mw0, c, arrs=None, alpha=None):
         Aw, dobs, wdiag, wdiag_inv, apr = \
             const_arrs if arrs is None else arrs
         wm_sq = wdiag * wdiag
+        alpha_f = (jnp.asarray(alpha, dtype) if fixed_alpha
+                   else None)
 
         def data_value(mw, c):
             r = Aw @ mw - dobs
@@ -117,10 +130,18 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
 
         mw0 = jnp.asarray(mw0, dtype)
         c = jnp.asarray(c, dtype)
-        # ---- k = 0: steepest descent with alpha = 0 -----------------------
-        I0 = data_grad(mw0, c)  # + 0 * model_grad
-        Iw0 = I0
-        kstep = jnp.dot(Iw0, I0) / weighted_norm_sq(Iw0, c)
+        # ---- k = 0: steepest descent (alpha = 0 under the reference's
+        # adaptive schedule; the fixed objective's full gradient in
+        # fixed-alpha mode) ------------------------------------------------
+        if alpha_f is None:
+            I0 = data_grad(mw0, c)  # + 0 * model_grad
+            Iw0 = I0
+            kstep = jnp.dot(Iw0, I0) / weighted_norm_sq(Iw0, c)
+        else:
+            I0 = data_grad(mw0, c) + alpha_f * model_grad(mw0)
+            Iw0 = I0
+            kstep = jnp.dot(Iw0, I0) / (weighted_norm_sq(Iw0, c)
+                                        + alpha_f * jnp.sum(Iw0 * Iw0))
         mw1 = project(mw0 - kstep * Iw0)
         d0 = data_value(mw0, c)
         m0 = model_value(mw0)
@@ -129,10 +150,13 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
             (mw_prev, mw_cur, I_prev, Iw_prev, alpha, done) = carry
             d_prev = data_value(mw_prev, c)
             d_cur = data_value(mw_cur, c)
-            alpha1 = d_cur / model_value(mw_cur)  # k == 1 rule
-            decay = jnp.where(d_prev - d_cur < 0.01 * d_prev, q * alpha,
-                              alpha)
-            alpha = jnp.where(k == 1, alpha1, decay)
+            if alpha_f is None:
+                alpha1 = d_cur / model_value(mw_cur)  # k == 1 rule
+                decay = jnp.where(d_prev - d_cur < 0.01 * d_prev,
+                                  q * alpha, alpha)
+                alpha = jnp.where(k == 1, alpha1, decay)
+            else:
+                alpha = alpha_f
             I = data_grad(mw_cur, c) + alpha * model_grad(mw_cur)
             mu = jnp.sum(I * I) / jnp.sum(I_prev * I_prev)
             Iw = I + mu * Iw_prev
@@ -173,7 +197,7 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
 
 def cg_device(module, dobs, boundary, regularization="Damping", beta=0.01,
               q=0.7, maxk=200, initial=None, aprior=None,
-              dtype=jnp.float32):
+              dtype=jnp.float32, alpha=None):
     """Device-resident CG on an EXISTING :class:`GravMagModule`.
 
     The whole-Earth warm-start path: the reference's own workflow is "CG
@@ -204,10 +228,17 @@ def cg_device(module, dobs, boundary, regularization="Damping", beta=0.01,
     active3d = getattr(module, "_active3d", None)
     solve = _make_cg_core(
         Aw, None, None, None, module.mshape, active3d, regularization,
-        beta, q, maxk, rhomin, rhomax, "normalized", dtype, as_args=True)
+        beta, q, maxk, rhomin, rhomax, "normalized", dtype, as_args=True,
+        fixed_alpha=alpha is not None)
     arrs = (Aw, dobs_d, wdiag, wdiag_inv, wdiag * apr_m)
-    mw_fin, d_h, m_h, r_h, n_it = jax.jit(solve)(
-        mw0, jnp.ones(D, dtype), arrs)
+    if alpha is None:
+        mw_fin, d_h, m_h, r_h, n_it = jax.jit(solve)(
+            mw0, jnp.ones(D, dtype), arrs)
+    else:
+        # bounded MAP at a FIXED alpha (ladder mode): alpha rides as a
+        # traced argument so one executable serves the whole ladder
+        mw_fin, d_h, m_h, r_h, n_it = jax.jit(solve)(
+            mw0, jnp.ones(D, dtype), arrs, jnp.asarray(alpha, dtype))
     n_it = int(n_it)  # scalar d2h — also the completion barrier
     return {
         "mw": mw_fin,

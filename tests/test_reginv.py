@@ -165,6 +165,36 @@ def test_cg_device_matches_host_cg(cg_problem):
     assert corr > 0.99
 
 
+def test_cg_device_fixed_alpha_bounded_map(cg_problem):
+    """Fixed-alpha projected CG (the bounded-MAP ladder mode, round-4
+    verdict Missing #3): constant alpha from the k=0 step on, hard box
+    projection, monotone objective descent."""
+    from gravinv3dhmc_tpu.inversion.reginv import cg_device
+
+    inv, dobs, rho = cg_problem
+    out = cg_device(inv._mod, dobs, (0.0, 1.0), regularization="Damping",
+                    maxk=60, dtype=jnp.float64, alpha=0.5)
+    m = np.asarray(out["m"], np.float64)
+    # the reported alpha history is the constant (no adaptive schedule)
+    assert np.allclose(out["regul_hist"][1:], 0.5)
+    # box respected and the data misfit strongly reduced
+    assert m.max() <= 1.0 + 1e-9 and m.min() >= -1e-9
+    assert out["data_hist"][-1] < 0.2 * out["data_hist"][0]
+    # the FIXED objective decreases end-to-end (iteration-to-iteration
+    # monotonicity is NOT promised: the hard box projection breaks
+    # conjugacy, like the reference's own projected steps). Histories
+    # are size-normalised per term (d/D, m/M), so un-normalise first.
+    D, M = inv.dsize, inv.msize
+    obj = (np.asarray(out["data_hist"]) * D
+           + 0.5 * np.asarray(out["model_hist"]) * M)
+    assert obj[-1] < 0.5 * obj[0]
+    # a gentler alpha fits the data at least as well as a harsher one
+    out_hi = cg_device(inv._mod, dobs, (0.0, 1.0),
+                       regularization="Damping", maxk=60,
+                       dtype=jnp.float64, alpha=50.0)
+    assert out["data_hist"][-1] <= out_hi["data_hist"][-1] + 1e-12
+
+
 def test_bootstrap_weights_equal_explicit_resampling(cg_problem):
     inv, dobs, rho = cg_problem
     bounds = (0, 1000, 0, 1500, 0, 500)

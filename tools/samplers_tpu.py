@@ -7,9 +7,20 @@ the uniformgrid flagship problem — with the sample buffers kept
 device-resident and diagnostics computed on device (the tunnelled link
 stalls on bulk device->host copies), so only scalars cross the link.
 
-Usage:  python tools/samplers_tpu.py [nuts] [chees]   (on the TPU)
+The ``realdata`` stage (round-4 verdict Missing #2: the adaptive
+samplers had never been measured on the north-star problem) runs ChEES
+on the full-feature South China case — spherical tesseroids, segmented
+depths, topography carve, frozen water cells — targeting the SAME
+exp(-U) distribution as the fixed-L HMC realdata bench block, and
+reports ESS/s against both anchors: the reference's conservative
+samples/s upper bound (BASELINE 12.42/s) and its measured like-for-like
+kernel ESS/s (tools/refkernel_f64.json, 0.32/s).
+
+Usage:  python tools/samplers_tpu.py [nuts] [chees] [realdata]  (on TPU)
 Knobs:  SAMPLERS_NCHAINS (8), SAMPLERS_NSAMPLES (200),
-        SAMPLERS_NWARMUP (200), SAMPLERS_SUB (64)
+        SAMPLERS_NWARMUP (200), SAMPLERS_SUB (64),
+        SAMPLERS_RD_NCHAINS (64), SAMPLERS_RD_NSAMPLES (256),
+        SAMPLERS_RD_NWARMUP (256)
 Writes tools/samplers_tpu.json and prints one JSON line per sampler.
 """
 import json
@@ -51,7 +62,7 @@ def rhat_jax(chains):
 
 def main():
     which = [a for a in sys.argv[1:] if not a.startswith("-")] or \
-        ["nuts", "chees"]
+        ["nuts", "chees", "realdata"]
     C = int(os.environ.get("SAMPLERS_NCHAINS", "8"))
     N = int(os.environ.get("SAMPLERS_NSAMPLES", "200"))
     W = int(os.environ.get("SAMPLERS_NWARMUP", "200"))
@@ -176,6 +187,105 @@ def main():
         res["grad_evals_per_total_s"] = res["grad_evals"] / elapsed
         results["chees"] = res
         print(json.dumps({"sampler": "chees", **res}), flush=True)
+
+    if "realdata" in which:
+        from gravinv3dhmc_tpu.bench import (BASELINE_REALDATA_SAMPLES_PER_S,
+                                            build_realdata_problem)
+        from gravinv3dhmc_tpu.inversion.chees import run_chees
+
+        Cr = int(os.environ.get("SAMPLERS_RD_NCHAINS", "64"))
+        Nr = int(os.environ.get("SAMPLERS_RD_NSAMPLES", "256"))
+        Wr = int(os.environ.get("SAMPLERS_RD_NWARMUP", "256"))
+        module_r, dobs_r = build_realdata_problem()
+        Mr = module_r.n_active
+        wdiag_r = np.asarray(module_r.wdiag)
+        # the realdata bench block's exact objective: Damping toward the
+        # 0.001 prior, alpha=0.05, box [-0.5, 0.5], frozen water cells
+        # (bench.py realdata_stage; reference example/realdata/
+        # main_real.py:43). Same exp(-U) target as the fixed-L HMC run,
+        # so ESS/s compares like for like against both anchors.
+        alpha_r = 0.05
+        apr_r = wdiag_r * np.full(Mr, 0.001)
+        low_r = wdiag_r * np.full(Mr, -0.5)
+        high_r = wdiag_r * np.full(Mr, 0.5)
+        batched_r = module_r.make_potential(
+            apr_r, low_r, high_r, constraint="logarithmic",
+            log_factor=log_factor, regularization="Damping", beta=0.01,
+            dtype=dtype, jacobian=True, temperature=1.0)
+        x0r = mw_to_logistic(
+            np.clip(wdiag_r * np.full(Mr, 0.01),
+                    low_r + 1e-9 * (high_r - low_r + 1e-30),
+                    high_r - 1e-9 * (high_r - low_r + 1e-30)),
+            low_r, high_r, log_factor)
+        x0r = np.where(np.isfinite(x0r), x0r, 0.0)
+        x0r_b = jnp.asarray(np.tile(x0r[None, :], (Cr, 1)), dtype)
+        low_rd = jnp.asarray(low_r, dtype)
+        high_rd = jnp.asarray(high_r, dtype)
+        sub_r = jnp.asarray(np.random.RandomState(0).choice(
+            Mr, size=min(Mr, nsub), replace=False))
+
+        def _run_rd(x, k, P):
+            def pot_batch(xx):
+                u, g, _ = batched_r.fn(xx, alpha_r, P)
+                return u, g
+            return run_chees(pot_batch, x, k, n_warmup=Wr, n_samples=Nr,
+                             step_size0=0.01, dtype=dtype)
+
+        runner = jax.jit(_run_rd)
+        t0 = time.time()
+        compiled = runner.lower(x0r_b, random.PRNGKey(100),
+                                batched_r.params).compile()
+        compile_s = time.time() - t0
+        t0 = time.time()
+        xs, stats = compiled(x0r_b, random.PRNGKey(100), batched_r.params)
+        float(xs[0, 0, 0])  # scalar readback barrier (see nuts above)
+        elapsed = time.time() - t0
+        xs_cnm = jnp.swapaxes(xs, 0, 1)
+        mw_r = logistic_to_mw(xs_cnm[:, :, sub_r], low_rd[sub_r],
+                              high_rd[sub_r], log_factor)
+        ess_r = ess_jax(mw_r)
+        rh_r = rhat_jax(mw_r)
+        ess_med = float(jnp.median(ess_r))
+        res = dict(
+            sampler="chees", workload="realdata_southchina",
+            problem=[int(dobs_r.size), int(Mr)],
+            nchains=Cr, nsamples=Nr, nwarmup=Wr,
+            RegulFactor=alpha_r,
+            compile_s=round(compile_s, 1),
+            total_s=round(elapsed, 2),
+            ess_min=float(jnp.min(ess_r)),
+            ess_median=ess_med,
+            ess_per_total_s_median=round(ess_med / elapsed, 2),
+            rhat_max=float(jnp.max(rh_r)),
+            mean_accept=float(jnp.mean(stats["accept"])),
+            step_size=float(jnp.asarray(
+                stats["step_size"]).reshape(-1)[0]),
+            trajectory_time=float(jnp.asarray(
+                stats["trajectory_time"]).reshape(-1)[0]),
+            mean_L=float(stats["mean_L"]),
+            max_steps_saturated=float(stats["max_steps_saturated"]),
+            grad_evals=int(Cr * jnp.sum(stats["L"])),
+        )
+        res["grad_evals_per_total_s"] = round(res["grad_evals"] / elapsed,
+                                              1)
+        # conservative anchor: reference samples/s (>= its ESS/s) from
+        # its own logged realdata T1 run — the north-star denominator
+        res["vs_baseline_ess"] = round(
+            res["ess_per_total_s_median"] / BASELINE_REALDATA_SAMPLES_PER_S,
+            1)
+        # like-for-like anchor: the reference kernel's measured
+        # ESS/sample x its logged samples/s (tools/refkernel_f64.json)
+        try:
+            art = json.load(open(os.path.join(os.path.dirname(__file__),
+                                              "refkernel_f64.json")))
+            ref_ess_s = (BASELINE_REALDATA_SAMPLES_PER_S
+                         * art["measured"]["ess_per_sample"])
+            res["vs_reference_kernel_ess"] = round(
+                res["ess_per_total_s_median"] / ref_ess_s, 1)
+        except Exception:  # noqa: BLE001 — anchor file optional
+            pass
+        results["realdata_chees"] = res
+        print(json.dumps({"stage": "realdata", **res}), flush=True)
 
     with open(os.path.join(os.path.dirname(__file__),
                            "samplers_tpu.json"), "w") as f:
