@@ -470,12 +470,15 @@ def _iter_kernel(scal_ref, L_ref, seed_ref, x_ref, g_ref, U_ref, ud_ref,
     # resolution truncates the refresh at ~4.9 sigma, irrelevant for a
     # momentum draw. Falls back to full-width draws when the half-tile
     # is not lane-aligned.
-    # 3-word seed material, mixed by the hardware PRNG: (per-run salt,
-    # global iteration counter, chain tile). Streams are unique by
-    # construction within a run — the earlier single-word random seed
-    # risked birthday collisions in the 2^31 space over ~30k+
-    # iterations, replaying a tile's momentum/accept stream.
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], pl.program_id(0))
+    # 2-word seed material, mixed by the hardware PRNG (Mosaic caps
+    # prng_seed at two values): (per-run salt, global iteration counter
+    # folded with the chain tile as counter*n_tiles + tile — injective,
+    # so streams are unique by construction within a run). The earlier
+    # single-word random seed risked birthday collisions in the 2^31
+    # space over ~30k+ iterations, replaying a tile's momentum/accept
+    # stream.
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] * pl.num_programs(0) + pl.program_id(0))
     shape = x_in.shape
 
     def u24(bits):
