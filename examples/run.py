@@ -86,6 +86,15 @@ def cmd_global(args):
     dpre, dobs = W.forward_with_noise(wl, seed=args.seed_noise,
                                       kernel_cache=args.kernel_cache)
     kernel_device = not args.host_kernel
+    noise_sigma = float(0.02 * np.abs(dpre).max())
+    # --honest: sample the CALIBRATED Bayesian posterior of the same
+    # physics — likelihood temperature 2*sigma^2, logistic box transform
+    # WITH its Jacobian — instead of the reference's Sigma-tempered
+    # quasi-MAP kernel (whose intervals are ~2x too narrow, GLOBAL_r04
+    # coverage_2std 0.55). Same machinery, different target.
+    honest_kw = (dict(constraint="logarithmic", jacobian=True,
+                      hmc_temperature=2.0 * noise_sigma ** 2)
+                 if args.honest else {})
     module, stats, mean, std, out = W.run_hmc(
         wl, dobs, nsamples=args.nsamples, ndraws=args.ndraws,
         nchains=args.nchains, delta=0.005, Lrange=tuple(args.Lrange),
@@ -101,7 +110,7 @@ def cmd_global(args):
         adapt_step_size=True, adapt_mass=not args.no_adapt_mass,
         adapt_chunks=max(args.adapt_chunks, 20),
         cg_warm_start=not args.no_cg, cg_maxk=args.cg_maxk,
-        store_mode="chain", store_thin=args.store_thin)
+        store_mode="chain", store_thin=args.store_thin, **honest_kw)
     if kernel_device and args.kernel_cache and os.path.exists(
             args.kernel_cache):
         # independent check: sampled device-built entries vs the f64 host
@@ -131,7 +140,9 @@ def cmd_global(args):
     # so RMSD ~= noise sigma means ~98% of data variance explained.
     dc = dobs - dobs.mean()
     out["data_rms_centered"] = float(np.sqrt((dc ** 2).mean()))
-    out["noise_sigma"] = float(0.02 * np.abs(dpre).max())
+    out["noise_sigma"] = noise_sigma
+    out["target"] = ("honest posterior (T=2 sigma^2, Jacobian)"
+                     if args.honest else "reference Sigma-tempered")
     out["variance_explained"] = float(
         1.0 - (out["RMSD"] / out["data_rms_centered"]) ** 2) \
         if np.isfinite(out.get("RMSD", np.nan)) else None
@@ -314,6 +325,14 @@ def main():
                          "then starts from the flat 0.001 model)")
     ap.add_argument("--cg-maxk", dest="cg_maxk", type=int, default=200,
                     help="global: CG warm-start iteration budget")
+    ap.add_argument("--honest", action="store_true",
+                    help="global: sample the calibrated Bayesian "
+                         "posterior (likelihood temperature 2*sigma^2, "
+                         "logistic box transform with Jacobian) instead "
+                         "of the reference's Sigma-tempered quasi-MAP "
+                         "target; defaults RegulFactor to 5.0 (the "
+                         "calibrated mode's operating point, "
+                         "tools/global_chees.py)")
     ap.add_argument("--store-thin", dest="store_thin", type=int, default=1,
                     help="global: chain-store thinning stride — the "
                          "buffer then spans thin*nsamples iterations "
@@ -366,7 +385,10 @@ def main():
         args.beta = cfg.beta
 
     if args.RegulFactor is None:
-        args.RegulFactor = 0.05 if args.workload == "global" else 1.0
+        if args.workload == "global":
+            args.RegulFactor = 5.0 if args.honest else 0.05
+        else:
+            args.RegulFactor = 1.0
 
     if args.workload == "uniformgrid":
         cmd_hmc(args, W.uniformgrid)

@@ -370,7 +370,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             adapt_step_size=False, adapt_mass=False, adapt_chunks=10,
             kernel_device=False, transfer_samples=True,
             cg_warm_start=False, cg_maxk=200, store_mode="accepted",
-            store_thin=1, spmd_mesh=None):
+            store_thin=1, spmd_mesh=None, constraint="mandatory",
+            jacobian=False, hmc_temperature=1.0):
     """Shared sampling driver (reference: example/*/main_*.py pattern).
 
     ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
@@ -448,7 +449,7 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
                 "tempering comes from Sigma (inversion/hmc.py docstring)")
         stats = hmc.HMCSample(
             module, nsamples, ndraws, delta, list(Lrange), initial, aprior,
-            boundaries, "mandatory", 1000.0, dobs, RegulFactor=RegulFactor,
+            boundaries, constraint, 1000.0, dobs, RegulFactor=RegulFactor,
             regularization=regularization, beta=beta, seed=seed, Sigma=Sigma,
             save_folder=save_folder or "result/chain", nchains=nchains,
             chunk_size=chunk_size, verbose=verbose,
@@ -456,7 +457,8 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             adapt_step_size=adapt_step_size, adapt_mass=adapt_mass,
             adapt_chunks=adapt_chunks, transfer_samples=transfer_samples,
             store_mode=store_mode, store_thin=store_thin,
-            spmd_mesh=spmd_mesh)
+            spmd_mesh=spmd_mesh, jacobian=jacobian,
+            temperature=hmc_temperature)
         if not transfer_samples:
             # device-resident finish: stats on device, scalars only
             out, _ = device_posterior_summary(module, stats, dobs,

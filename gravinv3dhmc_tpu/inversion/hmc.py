@@ -535,6 +535,16 @@ class HamiltonianMC:
         #: target mixes slowly; thinned estimates lose almost nothing at
         #: autocorrelation >> 1)
         self.store_thin = 1
+        #: target temperature: the potential becomes U/T. 1.0 preserves
+        #: the reference objective; 2*sigma_noise^2 makes exp(-U/T) the
+        #: honest Gaussian-likelihood posterior (the calibration mode the
+        #: adaptive samplers use — see GravMagModule.make_potential).
+        self.temperature = 1.0
+        #: add the logistic-transform log-Jacobian to the potential
+        #: (constraint='logarithmic' only): the sampled density is then
+        #: the true box-constrained posterior in x-space, not the
+        #: unweighted pullback. Required for calibrated uncertainty.
+        self.jacobian = False
         #: multi-chip SPMD: a (chains, model) ``jax.sharding.Mesh``
         #: (parallel.make_mesh). When set, sample() builds the potential
         #: via parallel.make_sharded_potential — the kernel matrix is
@@ -585,6 +595,7 @@ class HamiltonianMC:
         ``adapt_mass=True`` keeps the fused path (round-2 silently fell
         back to XLA)."""
         if (self.constraint != "mandatory"
+                or self.jacobian or float(self.temperature) != 1.0
                 or self.regularization not in ("MS", "Damping")
                 or self.nchains % 32 != 0       # kernel tiles chains by 32
                 or getattr(self.model, "Aw", None) is None  # device-built
@@ -725,6 +736,9 @@ class HamiltonianMC:
             if self.constraint != "mandatory":
                 raise ValueError("spmd_mesh supports the 'mandatory' "
                                  "boundary constraint only")
+            if self.jacobian or float(self.temperature) != 1.0:
+                raise ValueError("spmd_mesh does not support "
+                                 "temperature/jacobian potentials yet")
             mod = self.model
             if getattr(mod, "Aw", None) is None:
                 raise ValueError("spmd_mesh needs a materialised kernel "
@@ -744,7 +758,8 @@ class HamiltonianMC:
                 self.aprior_model, self.low, self.high,
                 constraint=self.constraint, log_factor=self.log_factor,
                 regularization=self.regularization, beta=self.beta,
-                dtype=dtype)
+                dtype=dtype, jacobian=self.jacobian,
+                temperature=float(self.temperature))
 
         # convert m-domain init to the optimisation variable x. A
         # device-resident initial model (e.g. the cg_device warm start at
@@ -755,6 +770,13 @@ class HamiltonianMC:
         if xp is np:
             mw0 = mw0.astype(np.float64)
         if self.constraint == "logarithmic":
+            # a warm start can sit EXACTLY on a bound (the projected CG
+            # clips there); pull it strictly inside so the transform
+            # stays finite
+            eps_b = 1e-6
+            span = self.high - self.low
+            mw0 = xp.clip(mw0, self.low + eps_b * span,
+                          self.high - eps_b * span)
             x0 = mw_to_logistic(mw0, self.low, self.high, self.log_factor,
                                 xp=xp)
         elif self.constraint in ("mandatory", "reflective"):
@@ -1148,7 +1170,8 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
               verbose=True, write_files=True, adapt_step_size=False,
               adapt_target=0.8, adapt_mass=False, adapt_chunks=10,
               shared_L=False, use_fused=False, transfer_samples=True,
-              store_mode="accepted", store_thin=1, spmd_mesh=None):
+              store_mode="accepted", store_thin=1, spmd_mesh=None,
+              jacobian=False, temperature=1.0):
     """Reference-compatible chain factory (inversion/hmc.py:358-403).
 
     ``nchains`` extends the reference: instead of one chain per MPI rank,
@@ -1186,6 +1209,8 @@ def HMCSample(model, nsamples, ndraws, delta, Lrange, initial_model,
     chain.store_mode = store_mode
     chain.store_thin = store_thin
     chain.spmd_mesh = spmd_mesh
+    chain.jacobian = jacobian
+    chain.temperature = temperature
 
     boundaries = np.asarray(boundaries, dtype=np.float64)
     # device-resident weighting (kernel_device path) scales on device —
