@@ -131,9 +131,15 @@ class JointModule:
 
     def make_potential(self, aprior_mw, low, high, constraint="mandatory",
                        log_factor=1000.0, regularization="Damping",
-                       beta=0.01, cross_gradient_weight=0.0, dtype=None):
+                       beta=0.01, cross_gradient_weight=0.0, dtype=None,
+                       jacobian=False, temperature=1.0):
         """Jittable joint potential over the stacked (2M,) variable."""
         from .potential import logistic_to_mw
+
+        if jacobian or float(temperature) != 1.0:
+            raise NotImplementedError(
+                "the joint potential does not support the honest-"
+                "posterior temperature/jacobian mode yet")
 
         dtype = dtype or self.dtype
         M = self.M
