@@ -110,7 +110,8 @@ def cmd_global(args):
         adapt_step_size=True, adapt_mass=not args.no_adapt_mass,
         adapt_chunks=max(args.adapt_chunks, 20),
         cg_warm_start=not args.no_cg, cg_maxk=args.cg_maxk,
-        store_mode="chain", store_thin=args.store_thin, **honest_kw)
+        cg_alpha=args.cg_alpha, store_mode="chain",
+        store_thin=args.store_thin, **honest_kw)
     if kernel_device and args.kernel_cache and os.path.exists(
             args.kernel_cache):
         # independent check: sampled device-built entries vs the f64 host
@@ -325,6 +326,13 @@ def main():
                          "then starts from the flat 0.001 model)")
     ap.add_argument("--cg-maxk", dest="cg_maxk", type=int, default=200,
                     help="global: CG warm-start iteration budget")
+    ap.add_argument("--cg-alpha", dest="cg_alpha", type=float,
+                    default=None,
+                    help="global: FIXED regularization weight for the "
+                         "CG warm start (bounded-MAP mode; default: the "
+                         "reference's adaptive schedule, which diverges "
+                         "at whole-Earth scale — see "
+                         "tools/bounded_map.py for the ladder evidence)")
     ap.add_argument("--honest", action="store_true",
                     help="global: sample the calibrated Bayesian "
                          "posterior (likelihood temperature 2*sigma^2, "

@@ -369,9 +369,9 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
             sampler="hmc", nwarmup=None, temperature=None,
             adapt_step_size=False, adapt_mass=False, adapt_chunks=10,
             kernel_device=False, transfer_samples=True,
-            cg_warm_start=False, cg_maxk=200, store_mode="accepted",
-            store_thin=1, spmd_mesh=None, constraint="mandatory",
-            jacobian=False, hmc_temperature=1.0):
+            cg_warm_start=False, cg_maxk=200, cg_alpha=None,
+            store_mode="accepted", store_thin=1, spmd_mesh=None,
+            constraint="mandatory", jacobian=False, hmc_temperature=1.0):
     """Shared sampling driver (reference: example/*/main_*.py pattern).
 
     ``sampler`` selects the MCMC kernel: ``'hmc'`` — the reference's
@@ -417,9 +417,14 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
         from gravinv3dhmc_tpu.inversion.reginv import cg_device
 
         t_cg = time.time()
+        # cg_alpha: a FIXED regularization weight for the warm start —
+        # the reference's adaptive schedule diverges at whole-Earth
+        # scale (GLOBAL_r04 reference_cg_divergence; its RMSD-17018
+        # "warm start" was actively harmful), while the fixed-alpha
+        # projected CG converges (tools/bounded_map.py ladder)
         cg = cg_device(module, dobs, (wl["rhomin"], wl["rhomax"]),
                        regularization=regularization, beta=beta, q=0.7,
-                       maxk=cg_maxk, dtype=jnp.float32)
+                       maxk=cg_maxk, dtype=jnp.float32, alpha=cg_alpha)
         # CG-point data fit, mean-removed like the HMC misfit — scalars
         dpre_cg = module.predict(cg["mw"])
         dobs_d = jnp.asarray(dobs, jnp.float32)
