@@ -398,6 +398,11 @@ def main():
         else:
             args.RegulFactor = 1.0
 
+    if args.multichip and args.workload not in ("uniformgrid",
+                                                "segmentgrid", "ratiogrid"):
+        raise SystemExit("--multichip drives the Cartesian HMC workloads "
+                         "(uniformgrid/segmentgrid/ratiogrid); the global "
+                         "workload's kernel is device-built per chip")
     if args.workload == "uniformgrid":
         cmd_hmc(args, W.uniformgrid)
     elif args.workload == "segmentgrid":

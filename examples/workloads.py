@@ -430,11 +430,18 @@ def run_hmc(wl, dobs, nsamples=500, ndraws=0, nchains=2, delta=0.01,
         dobs_d = jnp.asarray(dobs, jnp.float32)
         r = ((dpre_cg - jnp.mean(dpre_cg))
              - (dobs_d - jnp.mean(dobs_d)))
+        d_h = [round(float(v), 3) for v in cg["data_hist"]]
         cg_info = {
             "n_iters": cg["n_iters"],
             "elapsed_s": time.time() - t_cg,
             "RMSD": float(jnp.sqrt(jnp.mean(r ** 2))),
-            "data_hist": [round(float(v), 3) for v in cg["data_hist"]],
+            "alpha": cg_alpha,
+            # head/min/tail of the misfit history — the full 200-entry
+            # list bloated every artifact line without adding evidence
+            "data_hist_head": d_h[:5],
+            "data_hist_min": min(d_h),
+            "data_hist_last": d_h[-1],
+            "diverged": d_h[-1] > 2.0 * min(d_h),
             "regul_hist_last": float(cg["regul_hist"][-1]),
         }
         if verbose:

@@ -75,9 +75,11 @@ def main():
     mw0 = jnp.zeros(M, dtype)
     ones = jnp.ones(D, dtype)
 
-    def evaluate(mw):
+    def evaluate(mw, Aw_a):
+        # Aw threaded as an ARGUMENT — closing over it bakes the 2.1 GB
+        # kernel into the executable shipped over the tunnelled link
         m = mw * wdiag_inv
-        dp = Aw @ mw
+        dp = Aw_a @ mw
         r = (dp - jnp.mean(dp)) - (dobs_d - jnp.mean(dobs_d))
         rmsd = jnp.sqrt(jnp.mean(r ** 2))
         rmsm = jnp.sqrt(jnp.mean((m - truth) ** 2))
@@ -89,7 +91,7 @@ def main():
     @jax.jit
     def run(alpha, arrs):
         mw_fin, d_h, m_h, _, n_it = solve(mw0, ones, arrs, alpha)
-        return evaluate(mw_fin) + (d_h[-1], n_it)
+        return evaluate(mw_fin, arrs[0]) + (d_h[-1], n_it)
 
     # self-scaled anchor AT THE SOLUTION: run the pure projected
     # least-squares (alpha=0) first and set alpha_ref =
