@@ -108,10 +108,17 @@ def main():
         dm = mw_star - apr_
         return jnp.sum(r * r) / jnp.sum(dm * dm)
 
-    a_ref = float(anchor(arrs))
-    alphas = [0.0] + sorted(
-        {a_ref * 10.0 ** e for e in range(-decades, decades + 1)}
-        | {5.0})
+    if os.environ.get("BM_ALPHAS"):
+        # explicit ladder (e.g. a convergence re-check of the best
+        # points at a larger BM_MAXK)
+        a_ref = float("nan")
+        alphas = [float(a) for a in
+                  os.environ["BM_ALPHAS"].split(",")]
+    else:
+        a_ref = float(anchor(arrs))
+        alphas = [0.0] + sorted(
+            {a_ref * 10.0 ** e for e in range(-decades, decades + 1)}
+            | {5.0})
     print(f"[+{time.time()-t_all:.0f}s] anchor alpha_ref={a_ref:.4g} "
           f"(at the alpha=0 solution); ladder {len(alphas)} points",
           file=sys.stderr, flush=True)
@@ -141,7 +148,7 @@ def main():
         "device": str(jax.devices()[0]),
         "problem": [int(D), int(M)],
         "maxk": maxk,
-        "alpha_ref": a_ref,
+        "alpha_ref": None if a_ref != a_ref else a_ref,
         "ladder": ladder,
         "best_alpha": best["alpha"],
         "best_corr": best["corr"],
