@@ -44,7 +44,7 @@ from .potential import GravMagModule
 def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
                   regularization, beta, q, maxk, rhomin, rhomax,
                   stop_mode, dtype, aprior_mw=None, bootstrap_ms=False,
-                  as_args=False, fixed_alpha=False):
+                  as_args=False, fixed_alpha=False, keep_best=False):
     """Jitted CG solver over (optionally weighted) rows.
 
     Returns solve(mw0, row_weights[, arrs][, alpha]) -> (mw_final,
@@ -147,7 +147,7 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
         m0 = model_value(mw0)
 
         def body(carry, k):
-            (mw_prev, mw_cur, I_prev, Iw_prev, alpha, done) = carry
+            (mw_prev, mw_cur, I_prev, Iw_prev, alpha, done) = carry[:6]
             d_prev = data_value(mw_prev, c)
             d_cur = data_value(mw_cur, c)
             if alpha_f is None:
@@ -178,12 +178,29 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
                              jnp.stack([d_next / dsize, m_next / msize,
                                         alpha]))
             done = done | stop_now
-            return (mw_prev_n, mw_cur_n, I_n, Iw_n, alpha, done), hist
+            new_carry = (mw_prev_n, mw_cur_n, I_n, Iw_n, alpha, done)
+            if keep_best:
+                # projected Fletcher-Reeves is NOT monotone (the hard box
+                # projection breaks conjugacy and can late-diverge in
+                # f32 — a full-scale warm start was measured passing
+                # objective 3.2e5 and ending at 1.3e8): track the best
+                # iterate by the FIXED objective and return that
+                mw_best, obj_best = carry[6], carry[7]
+                obj_next = d_next + alpha * m_next
+                better = (obj_next < obj_best) & ~done
+                mw_best = jnp.where(better, mw_next, mw_best)
+                obj_best = jnp.where(better, obj_next, obj_best)
+                new_carry = new_carry + (mw_best, obj_best)
+            return new_carry, hist
 
         carry0 = (mw0, mw1, I0, Iw0, jnp.asarray(0.0, dtype),
                   jnp.asarray(False))
-        (_, mw_fin, _, _, _, _), hist = lax.scan(
-            body, carry0, jnp.arange(1, maxk))
+        if keep_best:
+            carry0 = carry0 + (mw1, data_value(mw1, c)
+                               + (alpha_f if alpha_f is not None else 0.0)
+                               * model_value(mw1))
+        fin_carry, hist = lax.scan(body, carry0, jnp.arange(1, maxk))
+        mw_fin = fin_carry[6] if keep_best else fin_carry[1]
         data_hist = jnp.concatenate([jnp.array([d0 / dsize], dtype),
                                      hist[:, 0]])
         model_hist = jnp.concatenate([jnp.array([m0 / msize], dtype),
@@ -197,7 +214,7 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
 
 def cg_device(module, dobs, boundary, regularization="Damping", beta=0.01,
               q=0.7, maxk=200, initial=None, aprior=None,
-              dtype=jnp.float32, alpha=None):
+              dtype=jnp.float32, alpha=None, keep_best=None):
     """Device-resident CG on an EXISTING :class:`GravMagModule`.
 
     The whole-Earth warm-start path: the reference's own workflow is "CG
@@ -226,10 +243,16 @@ def cg_device(module, dobs, boundary, regularization="Damping", beta=0.01,
     mw0 = (wdiag * jnp.asarray(initial, dtype) if initial is not None
            else jnp.zeros(M, dtype))
     active3d = getattr(module, "_active3d", None)
+    if keep_best is None:
+        # fixed-alpha mode minimises ONE objective, so returning the
+        # best-objective iterate is well-defined (and guards against the
+        # f32 late-divergence of projected Fletcher-Reeves); the
+        # adaptive mode keeps the reference's return-final semantics
+        keep_best = alpha is not None
     solve = _make_cg_core(
         Aw, None, None, None, module.mshape, active3d, regularization,
         beta, q, maxk, rhomin, rhomax, "normalized", dtype, as_args=True,
-        fixed_alpha=alpha is not None)
+        fixed_alpha=alpha is not None, keep_best=keep_best)
     arrs = (Aw, dobs_d, wdiag, wdiag_inv, wdiag * apr_m)
     if alpha is None:
         mw_fin, d_h, m_h, r_h, n_it = jax.jit(solve)(

@@ -69,7 +69,7 @@ def main():
     solve = _make_cg_core(
         Aw, None, None, None, module.mshape, None, "Damping", 0.01, 0.7,
         maxk, rhomin, rhomax, "normalized", dtype, as_args=True,
-        fixed_alpha=True)
+        fixed_alpha=True, keep_best=True)
     arrs = (Aw, dobs_d, wdiag, wdiag_inv, wdiag * apr_m)
     truth = jnp.asarray(wl["rho"], dtype)
     mw0 = jnp.zeros(M, dtype)
