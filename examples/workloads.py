@@ -359,6 +359,18 @@ def device_posterior_summary(module, stats, dobs, truth=None, sub=128):
             buf.shape[2], size=min(buf.shape[2], sub), replace=False)
         ess = ess_jax(sl[:, :, jnp.asarray(idx)])
         out["ess_median"] = float(jnp.median(ess))
+        # the estimator's DEGENERATE floor at this (C, N): chains with
+        # zero within-chain variance (bitwise-frozen states — exactly
+        # what the full-scale Sigma-tempered target produces once dt
+        # freezes) yield this value deterministically, ~= the chain
+        # count. An ess_median at the floor measures the ensemble SIZE,
+        # not mixing — flag it instead of reporting it as evidence.
+        C = buf.shape[0]
+        frozen = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, C)[:, None, None], (C, n_common, 4))
+        floor = float(jnp.median(ess_jax(frozen)))
+        out["ess_frozen_floor"] = floor
+        out["ess_degenerate"] = bool(out["ess_median"] < 1.25 * floor)
     return out, mean_m
 
 
