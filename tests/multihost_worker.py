@@ -43,15 +43,31 @@ def main():
     pot, sh = sharded.make_sharded_potential(
         mesh, Aw, dobs, np.zeros(M), low, high,
         regularization="Damping")
+    # the ADAPTIVE feature set on the cross-process mesh: shared-L,
+    # Welford moments, chain store with thinning, then a mid-run metric
+    # switch with runtime dt — the configuration HamiltonianMC.spmd_mesh
+    # actually runs (round-4 froze this wrapper at round-2 arguments)
     run_chunk, init_carry = sharded.make_sharded_chunk_sampler(
         mesh, pot, low=low, high=high, M=M, nchains=C, nsamples=4,
         ndraws=0, wdiag_inv=np.ones(M), data_size=D, dt=0.01,
-        Lmin=2, Lmax=4, chunk_size=4)
+        Lmin=2, Lmax=4, chunk_size=4, shared_L=True, welford=True,
+        store_mode="chain", store_thin=2)
     carry = init_carry(np.full((C, M), 0.5))
-    carry, stats = run_chunk(carry, jax.random.PRNGKey(0), 0, pot.params)
+    carry, stats = run_chunk(carry, jax.random.PRNGKey(0), 0, pot.params,
+                             store_base=-(2 ** 30))
+    # metric switch: pooled Welford variance -> diagonal inverse mass
+    var = jnp.mean(carry[9], axis=0) / jnp.maximum(carry[10] - 1.0, 1.0)
+    inv_mass = jnp.clip(var, 1e-12, None)
+    carry = carry[:8] + (jnp.zeros_like(carry[8]),
+                         jnp.zeros_like(carry[9]),
+                         jnp.zeros_like(carry[10]))
+    carry, stats = run_chunk(carry, jax.random.PRNGKey(0), 1, pot.params,
+                             dt=0.005, inv_mass=inv_mass, store_base=0)
     # global reductions: every process must compute identical values
     total_U = float(jnp.sum(carry[1]))
     total_acc = int(jnp.sum(carry[5]))
+    store_norm = float(jnp.sum(carry[6] * carry[6]))
+    welford_count = float(carry[10])
     lo, hi = multihost.chains_for_host(C)
     print(json.dumps({
         "pid": pid,
@@ -61,6 +77,8 @@ def main():
         "mesh_shape": dict(mesh.shape),
         "total_U": total_U,
         "total_accepted": total_acc,
+        "store_norm": store_norm,
+        "welford_count": welford_count,
         "chain_slice": [lo, hi],
         "host_seed": multihost.host_seed(100),
     }), flush=True)

@@ -74,6 +74,12 @@ def test_two_process_global_mesh():
     assert a["total_U"] == b["total_U"]
     assert a["total_accepted"] == b["total_accepted"]
     assert a["total_accepted"] > 0  # the sampler actually moved
+    # the ADAPTIVE sharded feature set crossed the boundary too:
+    # thinned chain store wrote (2 rows of 4 iterations at thin=2) and
+    # the post-switch Welford window counted the second chunk
+    assert a["store_norm"] == b["store_norm"]
+    assert a["store_norm"] > 0
+    assert a["welford_count"] == b["welford_count"] == 4.0
     # per-host chain slicing partitions the batch disjointly
     assert a["chain_slice"] == [0, 4] and b["chain_slice"] == [4, 8]
     assert {a["host_seed"], b["host_seed"]} == {100, 101}
