@@ -51,6 +51,56 @@ def test_device_resident_mode_matches_transfer_mode(small_module):
         * a["elapsed_s"] / b["elapsed_s"], rel=0.05)
 
 
+def test_honest_posterior_mode_temperature_widens(small_module):
+    """temperature/jacobian pass-through (the --honest mode): the
+    potential must actually receive them, and a hotter target must
+    accept wider moves into a broader posterior than the T=1 run."""
+    module, dobs, _ = small_module
+    captured = {}
+    orig = module.make_potential
+
+    def spy(*a, **k):
+        captured.update(k)
+        return orig(*a, **k)
+
+    module.make_potential = spy
+    try:
+        base = _chain(module, dobs)
+        base.constraint = "logarithmic"
+        out1 = base.sample(48, 0)
+        assert captured["temperature"] == 1.0
+        assert captured["jacobian"] is False
+
+        hot = _chain(module, dobs)
+        hot.constraint = "logarithmic"
+        hot.temperature = 400.0
+        out2 = hot.sample(48, 0)
+        assert captured["temperature"] == 400.0
+
+        jac = _chain(module, dobs)
+        jac.constraint = "logarithmic"
+        jac.jacobian = True
+        out3 = jac.sample(48, 0)
+        assert captured["jacobian"] is True
+    finally:
+        module.make_potential = orig
+    # the stored misfit rows are [U, u_data, u_model, ...]: under T the
+    # potential is (u_data + alpha*u_model)/T, so U*T reconstructs the
+    # raw objective; with the Jacobian on, U additionally carries the
+    # -log|dmw/dx| term and the identity must NOT hold
+    for out, T in ((out1, 1.0), (out2, 400.0)):
+        n = int(np.asarray(out["n_stored"]).min())
+        assert n >= 1
+        k = out["misfits"][:, :n]
+        np.testing.assert_allclose(k[..., 0] * T,
+                                   k[..., 1] + 1.0 * k[..., 2],
+                                   rtol=1e-4)
+    n3 = int(np.asarray(out3["n_stored"]).min())
+    k3 = out3["misfits"][:, :max(n3, 1)]
+    jac_term = k3[..., 0] - (k3[..., 1] + 1.0 * k3[..., 2])
+    assert np.abs(jac_term).min() > 1.0  # log-Jacobian present in U
+
+
 def test_use_fused_falls_back_cleanly_on_cpu(small_module):
     """use_fused on a backend without Mosaic (CPU tests) must not fail —
     the probe falls back to the XLA path and sampling proceeds."""
