@@ -80,6 +80,10 @@ def test_honest_posterior_mode_temperature_widens(small_module):
         jac = _chain(module, dobs)
         jac.constraint = "logarithmic"
         jac.jacobian = True
+        # the Jacobian term's gradient is O(log_factor) per coordinate:
+        # at the fixture's fixed dt nothing would be accepted (the real
+        # honest runs adapt dt); shrink dt so the wiring is observable
+        jac.dt = 1e-6
         out3 = jac.sample(48, 0)
         assert captured["jacobian"] is True
     finally:
