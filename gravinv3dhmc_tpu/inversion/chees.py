@@ -62,12 +62,22 @@ def adam_update(state, grad, lr=0.025, b1=0.9, b2=0.999, eps=1e-8):
 
 def run_chees(potential_fn, x0_batch, key, *, n_warmup=200, n_samples=500,
               step_size0=0.05, T0=None, target_accept=0.75,
-              max_steps=1024, dtype=jnp.float32):
+              max_steps=1024, dtype=jnp.float32, static_trajectory=False):
     """Adaptive ChEES-HMC over a chain batch.
 
     ``potential_fn(x) -> (U, grad)`` must accept the full (C, M) batch and
     return ((C,), (C, M)) — chains are NOT vmapped here because the
     adaptation couples them through cross-chain means.
+
+    ``static_trajectory=True`` replaces the dynamic-trip-count
+    ``fori_loop`` trajectory with a ``lax.scan`` over ``max_steps``
+    steps masked by ``i < L`` — fully static shapes and trip counts.
+    Same math (masked steps pass state through); it always pays
+    ``max_steps`` evaluations per iteration, so use it when L saturates
+    the cap anyway, or when the dynamic loop misbehaves (the full-scale
+    72000-cell program faulted the TPU runtime inside the dynamic
+    fori_loop — this is the workaround; see tools/global_chees.py
+    GC_STATIC).
 
     Returns ``(samples (n_samples, C, M), stats)`` with the adapted step
     size and trajectory time.
@@ -103,8 +113,20 @@ def run_chees(potential_fn, x0_batch, key, *, n_warmup=200, n_samples=500,
             pp = pp - kick * gg
             return (xx, pp, UU, gg)
 
-        x_new, p_new, U_new, g_new = lax.fori_loop(0, L, body,
-                                                   (x, p, U, g))
+        if static_trajectory:
+            # masked static-shape variant: every iteration runs exactly
+            # max_steps evaluations; steps with i >= L pass through
+            def step(s, i):
+                s2 = body(i, s)
+                act = i < L
+                return (jax.tree.map(
+                    lambda a, b: jnp.where(act, b, a), s, s2), None)
+
+            (x_new, p_new, U_new, g_new), _ = lax.scan(
+                step, (x, p, U, g), jnp.arange(max_steps))
+        else:
+            x_new, p_new, U_new, g_new = lax.fori_loop(0, L, body,
+                                                       (x, p, U, g))
         H_new = U_new + kinetic(p_new)
         dH = H_new - H0
         accept_prob = jnp.minimum(1.0, jnp.exp(-jnp.where(

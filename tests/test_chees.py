@@ -20,6 +20,27 @@ def test_halton_low_discrepancy():
         assert (w < 0.5).any() and (w >= 0.5).any()
 
 
+def test_static_trajectory_matches_dynamic():
+    """The masked lax.scan trajectory (the full-scale TPU-fault
+    workaround) must be bit-equivalent to the dynamic fori_loop: masked
+    steps pass state through, and the PRNG stream is shared."""
+    prec = jnp.asarray(1.0 / np.linspace(1.0, 2.0, 6) ** 2, jnp.float32)
+
+    def pot(x):
+        return 0.5 * jnp.sum(prec * x * x, axis=-1), prec * x
+
+    x0 = random.normal(random.PRNGKey(3), (8, 6), jnp.float32) * 0.2
+    kw = dict(n_warmup=40, n_samples=50, step_size0=0.2, max_steps=64)
+    xs_d, st_d = jax.jit(lambda x, k: chees.run_chees(pot, x, k, **kw))(
+        x0, random.PRNGKey(4))
+    xs_s, st_s = jax.jit(lambda x, k: chees.run_chees(
+        pot, x, k, static_trajectory=True, **kw))(x0, random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(st_d["L"]),
+                                  np.asarray(st_s["L"]))
+    np.testing.assert_allclose(np.asarray(xs_d), np.asarray(xs_s),
+                               rtol=0, atol=0)
+
+
 def test_chees_gaussian_moments_and_adaptation():
     # anisotropic Gaussian: scales 1..4 — ChEES should pick a trajectory
     # time comparable to the largest scale, and moments must be right

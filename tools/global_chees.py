@@ -57,6 +57,7 @@ def main():
     Wm = int(os.environ.get("GC_NWARMUP", "300"))
     scale = float(os.environ.get("GC_SCALE", "1.0"))
     max_steps = int(os.environ.get("GC_MAX_STEPS", "1024"))
+    static_traj = os.environ.get("GC_STATIC", "0") == "1"
     alpha = 5.0
     t_all = time.time()
 
@@ -127,7 +128,8 @@ def main():
         xs, stats = run_chees(lambda xx: pot_batch(xx, P), x, key,
                               n_warmup=Wm, n_samples=N,
                               step_size0=0.01, dtype=jnp.float32,
-                              max_steps=max_steps)
+                              max_steps=max_steps,
+                              static_trajectory=static_traj)
         out = summarize(xs, Aw)
         return out, (stats["step_size"], jnp.mean(stats["accept"]),
                      stats["trajectory_time"], jnp.sum(stats["L"]),
@@ -171,6 +173,7 @@ def main():
         "mean_L": float(aux[4]),
         "max_steps": max_steps,
         "max_steps_saturated": float(aux[5]),
+        "static_trajectory": static_traj,
         "compile_s": round(compile_s, 1),
         "sampling_s": round(elapsed, 1),
         "total_s": round(time.time() - t_all, 1),
