@@ -366,8 +366,12 @@ def device_posterior_summary(module, stats, dobs, truth=None, sub=128):
         # count. An ess_median at the floor measures the ensemble SIZE,
         # not mixing — flag it instead of reporting it as evidence.
         C = buf.shape[0]
+        # f32 explicitly: under the package-wide x64 mode linspace would
+        # be f64, and the ESS FFT would lower to complex128 — which the
+        # TPU cannot compile (this crashed a full-scale run post-hoc)
         frozen = jnp.broadcast_to(
-            jnp.linspace(0.0, 1.0, C)[:, None, None], (C, n_common, 4))
+            jnp.linspace(0.0, 1.0, C, dtype=jnp.float32)[:, None, None],
+            (C, n_common, 4))
         floor = float(jnp.median(ess_jax(frozen)))
         out["ess_frozen_floor"] = floor
         out["ess_degenerate"] = bool(out["ess_median"] < 1.25 * floor)
