@@ -41,6 +41,36 @@ def test_static_trajectory_matches_dynamic():
                                rtol=0, atol=0)
 
 
+def test_chunked_runner_matches_one_shot_statistics():
+    """run_chees_chunked (the full-scale TPU-worker-crash fix: short
+    jitted blocks with the adaptation state carried across) must sample
+    the same target to the same moments as the one-shot runner."""
+    scales = np.linspace(1.0, 3.0, 6)
+    prec = jnp.asarray(1.0 / scales ** 2, jnp.float32)
+
+    def pot(x, P):
+        return 0.5 * jnp.sum(P * x * x, axis=-1), P * x
+
+    C, M = 32, 6
+    x0 = random.normal(random.PRNGKey(0), (C, M), jnp.float32) * 0.1
+    buf, stats = chees.run_chees_chunked(
+        pot, x0, random.PRNGKey(1), n_warmup=200, n_samples=300,
+        chunk_iters=50, step_size0=0.2, pot_params=prec)
+    xs = np.asarray(buf)  # (N, C, M)
+    assert xs.shape == (300, C, M)
+    assert np.isfinite(xs).all()
+    assert np.abs(xs[-1]).max() > 0  # buffer actually filled to the end
+    std = xs.reshape(-1, M).std(axis=0)
+    np.testing.assert_allclose(std, scales, rtol=0.35)
+    assert 0.3 < float(np.mean(stats["accept"])) <= 1.0
+    assert stats["n_samples"] == 300 and stats["n_warmup"] == 200
+    # rounding-up contract
+    _, st2 = chees.run_chees_chunked(
+        pot, x0, random.PRNGKey(1), n_warmup=10, n_samples=15,
+        chunk_iters=8, step_size0=0.2, pot_params=prec)
+    assert st2["n_warmup"] == 16 and st2["n_samples"] == 16
+
+
 def test_chees_gaussian_moments_and_adaptation():
     # anisotropic Gaussian: scales 1..4 — ChEES should pick a trajectory
     # time comparable to the largest scale, and moments must be right

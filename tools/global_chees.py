@@ -58,6 +58,11 @@ def main():
     scale = float(os.environ.get("GC_SCALE", "1.0"))
     max_steps = int(os.environ.get("GC_MAX_STEPS", "1024"))
     static_traj = os.environ.get("GC_STATIC", "0") == "1"
+    # GC_CHUNK > 0: the chunked runner (inversion/chees.py
+    # run_chees_chunked) — REQUIRED at full scale: the one-shot program's
+    # minutes-long device execution reproducibly crashes the remote TPU
+    # worker (round-4's recorded limitation, root-caused this round)
+    chunk_iters = int(os.environ.get("GC_CHUNK", "0"))
     alpha = 5.0
     t_all = time.time()
 
@@ -136,15 +141,39 @@ def main():
                      stats["mean_L"], stats["max_steps_saturated"])
 
     Aw_dev = module.device_arrays(jnp.float32)["Aw"]
-    t0 = time.time()
-    lowered = run.lower(x0_b, random.PRNGKey(7), pot.params, Aw_dev)
-    compiled = lowered.compile()
-    compile_s = time.time() - t0
-    print(f"[+{compile_s:.0f}s] compiled", file=sys.stderr, flush=True)
-    t0 = time.time()
-    out, aux = compiled(x0_b, random.PRNGKey(7), pot.params, Aw_dev)
-    rmsd = float(out[0])  # scalar readback barrier
-    elapsed = time.time() - t0
+    if chunk_iters:
+        from gravinv3dhmc_tpu.inversion.chees import run_chees_chunked
+
+        t0 = time.time()
+        buf, cstats = run_chees_chunked(
+            pot_batch, x0_b, random.PRNGKey(7), n_warmup=Wm,
+            n_samples=N, chunk_iters=chunk_iters, step_size0=0.01,
+            max_steps=max_steps, dtype=jnp.float32,
+            static_trajectory=static_traj, pot_params=pot.params,
+            verbose=True)
+        out = jax.jit(summarize)(buf, Aw_dev)
+        rmsd = float(out[0])  # scalar readback barrier
+        elapsed = time.time() - t0
+        compile_s = 0.0  # interleaved with block dispatch
+        n_blocks = len(np.asarray(cstats["accept"]))
+        aux = (cstats["step_size"], jnp.mean(cstats["accept"]),
+               cstats["trajectory_time"],
+               jnp.asarray(cstats["mean_L"] * cstats["n_samples"]),
+               jnp.asarray(cstats["mean_L"]),
+               jnp.asarray(cstats["max_steps_saturated"]))
+        N = cstats["n_samples"]
+        Wm = cstats["n_warmup"]
+    else:
+        t0 = time.time()
+        lowered = run.lower(x0_b, random.PRNGKey(7), pot.params, Aw_dev)
+        compiled = lowered.compile()
+        compile_s = time.time() - t0
+        print(f"[+{compile_s:.0f}s] compiled", file=sys.stderr,
+              flush=True)
+        t0 = time.time()
+        out, aux = compiled(x0_b, random.PRNGKey(7), pot.params, Aw_dev)
+        rmsd = float(out[0])  # scalar readback barrier
+        elapsed = time.time() - t0
     res = {
         "case": "global whole-Earth, HONEST posterior (ChEES-HMC)",
         "device": str(jax.devices()[0]),
@@ -174,6 +203,7 @@ def main():
         "max_steps": max_steps,
         "max_steps_saturated": float(aux[5]),
         "static_trajectory": static_traj,
+        "chunk_iters": chunk_iters or None,
         "compile_s": round(compile_s, 1),
         "sampling_s": round(elapsed, 1),
         "total_s": round(time.time() - t_all, 1),
