@@ -87,6 +87,50 @@ def cmd_global(args):
                                       kernel_cache=args.kernel_cache)
     kernel_device = not args.host_kernel
     noise_sigma = float(0.02 * np.abs(dpre).max())
+    if args.map_only:
+        # bounded-MAP estimator: fixed-alpha projected CG, best-objective
+        # iterate (tools/bounded_map.py measured corr 0.84 / RMSM 0.075
+        # at alpha=5, maxk>=1600 on the full problem — beating every
+        # sampler mean; the round-4 "null space" gap was solver
+        # non-convergence). One command, no sampling.
+        import jax
+        import jax.numpy as jnp
+        from gravinv3dhmc_tpu.inversion.potential import GravMagModule
+        from gravinv3dhmc_tpu.inversion.reginv import cg_device
+
+        module = GravMagModule(dobs, wl["mrange"], wl["mspacing"],
+                               wl["obs"], kernel_device=kernel_device,
+                               verbose=not args.quiet,
+                               kernel_cache=None if kernel_device
+                               else args.kernel_cache,
+                               **wl["mesh_kwargs"])
+        alpha = args.cg_alpha if args.cg_alpha is not None else 5.0
+        cg = cg_device(module, dobs, (wl["rhomin"], wl["rhomax"]),
+                       regularization="Damping", beta=args.beta,
+                       maxk=args.cg_maxk, dtype=jnp.float32, alpha=alpha)
+        truth = jnp.asarray(wl["rho"], jnp.float32)
+        dobs_d = jnp.asarray(dobs, jnp.float32)
+        m = cg["m"]
+        dp = module.predict(cg["mw"])
+        r = (dp - jnp.mean(dp)) - (dobs_d - jnp.mean(dobs_d))
+        out = {
+            "workload": f"global(scale={args.scale})",
+            "estimator": f"bounded MAP (projected CG, alpha={alpha}, "
+                         f"maxk={args.cg_maxk}, best-objective iterate)",
+            "problem": [int(dobs.size), int(module.n_active)],
+            "RMSD": float(jnp.sqrt(jnp.mean(r ** 2))),
+            "RMSM": float(jnp.sqrt(jnp.mean((m - truth) ** 2))),
+            "posterior_truth_corr": float(
+                jnp.corrcoef(jnp.stack([m, truth]))[0, 1]),
+            "noise_sigma": noise_sigma,
+            "n_iters": cg["n_iters"],
+            "total_s": time.time() - t0,
+        }
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
     # --honest: sample the CALIBRATED Bayesian posterior of the same
     # physics — likelihood temperature 2*sigma^2, logistic box transform
     # WITH its Jacobian — instead of the reference's Sigma-tempered
@@ -333,6 +377,12 @@ def main():
                          "reference's adaptive schedule, which diverges "
                          "at whole-Earth scale — see "
                          "tools/bounded_map.py for the ladder evidence)")
+    ap.add_argument("--map-only", dest="map_only", action="store_true",
+                    help="global: skip sampling and report the bounded "
+                         "MAP (fixed-alpha projected CG, best-objective "
+                         "iterate; --cg-alpha defaults to 5.0, "
+                         "--cg-maxk controls depth — corr climbs to "
+                         "~0.84 by maxk 1600 at full scale)")
     ap.add_argument("--honest", action="store_true",
                     help="global: sample the calibrated Bayesian "
                          "posterior (likelihood temperature 2*sigma^2, "
