@@ -45,6 +45,13 @@ def main():
     scale = float(os.environ.get("BM_SCALE", "1.0"))
     maxk = int(os.environ.get("BM_MAXK", "400"))
     decades = int(os.environ.get("BM_DECADES", "3"))
+    # segment length per jitted program: the remote TPU worker dies on
+    # single programs running longer than roughly a minute (measured:
+    # 1600-iteration solves ~20 s fine, one 6400-iteration solve
+    # crashed mid-execution — the same failure mode the chunked ChEES
+    # runner fixes). Deep solves run as restarted-CG segments, global
+    # best-objective iterate kept across segments.
+    seg = int(os.environ.get("BM_CHUNK", "800"))
     t_all = time.time()
 
     wl = W.global_tess(scale=scale)
@@ -66,9 +73,10 @@ def main():
     print(f"[+{time.time()-t_all:.0f}s] device kernel ready "
           f"({D}x{M})", file=sys.stderr, flush=True)
 
+    n_segments = max(1, -(-maxk // seg))
     solve = _make_cg_core(
         Aw, None, None, None, module.mshape, None, "Damping", 0.01, 0.7,
-        maxk, rhomin, rhomax, "normalized", dtype, as_args=True,
+        min(maxk, seg), rhomin, rhomax, "normalized", dtype, as_args=True,
         fixed_alpha=True, keep_best=True)
     arrs = (Aw, dobs_d, wdiag, wdiag_inv, wdiag * apr_m)
     truth = jnp.asarray(wl["rho"], dtype)
@@ -89,9 +97,34 @@ def main():
         return rmsd, rmsm, corr, at_lo, at_hi
 
     @jax.jit
+    def run_segment(mw_in, alpha, arrs):
+        mw_fin, d_h, m_h, _, n_it = solve(mw_in, ones, arrs, alpha)
+        Aw_, dobs_, _, _, apr_ = arrs
+        r = Aw_ @ mw_fin - dobs_
+        dm = mw_fin - apr_
+        obj = jnp.sum(r * r) + alpha * jnp.sum(dm * dm)
+        return mw_fin, obj, n_it
+
+    @jax.jit
+    def finish(mw, alpha, arrs):
+        Aw_, dobs_, _, _, apr_ = arrs
+        r = Aw_ @ mw - dobs_
+        d_fin = jnp.sum(r * r) / D
+        return evaluate(mw, Aw_) + (d_fin,)
+
     def run(alpha, arrs):
-        mw_fin, d_h, m_h, _, n_it = solve(mw0, ones, arrs, alpha)
-        return evaluate(mw_fin, arrs[0]) + (d_h[-1], n_it)
+        """Restarted projected CG: n_segments jitted programs of <= seg
+        iterations each, keeping the global best-objective iterate."""
+        mw_best, obj_best = mw0, jnp.inf
+        n_total = 0
+        mw = mw0
+        for _ in range(n_segments):
+            mw, obj, n_it = run_segment(mw, alpha, arrs)
+            n_total += int(n_it)  # scalar sync bounds program length
+            if float(obj) < float(obj_best):
+                mw_best, obj_best = mw, obj
+            mw = mw_best  # restart from the best point
+        return finish(mw_best, alpha, arrs) + (n_total,)
 
     # self-scaled anchor AT THE SOLUTION: run the pure projected
     # least-squares (alpha=0) first and set alpha_ref =
