@@ -109,6 +109,15 @@ def realdata_stage(stage):
     nsamples = int(os.environ.get("BENCH_REALDATA_NSAMPLES", "768"))
     adapt_chunks = int(os.environ.get("BENCH_REALDATA_ADAPT_CHUNKS", "12"))
     dt = float(os.environ.get("BENCH_REALDATA_DT", "0.005"))
+    # trajectory length: the ESS/s lever. ESS/s is roughly chain-count
+    # invariant once the matvecs are compute-bound (ESS and cost both
+    # scale with C); what cuts the ~hundreds-of-iterations
+    # autocorrelation time is LONGER trajectories (more leapfrog steps
+    # per proposal decorrelates faster than it costs, until U-turn).
+    # The reference ran L in [5,40] (example/realdata/logout_T1.txt).
+    Lrange = [int(v) for v in os.environ.get(
+        "BENCH_REALDATA_LRANGE", "5,40").split(",")]
+    store_thin = int(os.environ.get("BENCH_REALDATA_THIN", "1"))
     t_build = time.time()
     module, dobs = build_realdata_problem()
     build_s = time.time() - t_build
@@ -120,7 +129,7 @@ def realdata_stage(stage):
     # (example/realdata/main_real.py:43; logout_T1.txt header)
     chain = hmc.HamiltonianMC(module)
     chain.dt = dt
-    chain.Lrange = [5, 40]
+    chain.Lrange = Lrange
     chain.Sigma = 0.001
     chain.seed = 100
     chain.RegulFactor = 0.05
@@ -149,6 +158,7 @@ def realdata_stage(stage):
     chain.adapt_target = 0.75
     chain.adapt_chunks = adapt_chunks
     chain.store_mode = "chain"
+    chain.store_thin = store_thin
     chain.transfer_samples = False  # ESS on device; scalars only
     chain.low = wdiag * np.full(M, -0.5)
     chain.high = wdiag * np.full(M, 0.5)
@@ -248,6 +258,8 @@ def realdata_stage(stage):
         "kernel_build_s": round(build_s, 2),
         "nchains": nchains,
         "nsamples": nsamples,
+        "Lrange": Lrange,
+        "store_thin": store_thin,
         "fused_pallas_step": fused_mode or "auto",
         "grad_evals_per_s": round(out["grad_evals_per_s"], 1),
         "samples_per_s": round(samples_per_s, 1),
