@@ -118,7 +118,18 @@ def main():
         out.update(extra)
         return out
 
-    results = {"device": str(jax.devices()[0]), "problem": [dobs.size, M]}
+    out_path = os.path.join(os.path.dirname(__file__),
+                            "samplers_tpu.json")
+    # merge into the existing artifact: a stage-selective invocation
+    # must not clobber the other stages' recorded rows
+    results = {}
+    if os.path.exists(out_path):
+        try:
+            results = json.load(open(out_path))
+        except Exception:  # noqa: BLE001 — corrupt file: start fresh
+            results = {}
+    results.update(device=str(jax.devices()[0]),
+                   problem=[dobs.size, M])
 
     if "nuts" in which:
         from gravinv3dhmc_tpu.inversion.nuts import run_nuts
@@ -196,6 +207,14 @@ def main():
         Cr = int(os.environ.get("SAMPLERS_RD_NCHAINS", "64"))
         Nr = int(os.environ.get("SAMPLERS_RD_NSAMPLES", "256"))
         Wr = int(os.environ.get("SAMPLERS_RD_NWARMUP", "256"))
+        # target temperature. 1.0 = the reference's raw exp(-U) target
+        # (razor-sharp: identity-metric ChEES freezes there — measured
+        # eps 2.7e-10 with L saturated; the metric-adapted fixed-L HMC
+        # is the right kernel for it, bench.py realdata stage). "auto" =
+        # the CALIBRATED honest posterior: sigma^2 estimated from the
+        # bounded-MAP data-misfit floor (real data has no known noise
+        # sigma), temperature = 2 sigma_hat^2.
+        rd_temp = os.environ.get("SAMPLERS_RD_TEMP", "1.0")
         module_r, dobs_r = build_realdata_problem()
         Mr = module_r.n_active
         wdiag_r = np.asarray(module_r.wdiag)
@@ -208,10 +227,22 @@ def main():
         apr_r = wdiag_r * np.full(Mr, 0.001)
         low_r = wdiag_r * np.full(Mr, -0.5)
         high_r = wdiag_r * np.full(Mr, 0.5)
+        if rd_temp == "auto":
+            from gravinv3dhmc_tpu.inversion.reginv import cg_device
+            cg = cg_device(module_r, dobs_r, (-0.5, 0.5),
+                           regularization="Damping", maxk=400,
+                           dtype=dtype, alpha=alpha_r)
+            dp = module_r.predict(cg["mw"])
+            dzc = jnp.asarray(dobs_r, dtype)
+            rr = (dp - jnp.mean(dp)) - (dzc - jnp.mean(dzc))
+            sigma_hat2 = float(jnp.mean(rr * rr))
+            temperature_r = 2.0 * sigma_hat2
+        else:
+            temperature_r = float(rd_temp)
         batched_r = module_r.make_potential(
             apr_r, low_r, high_r, constraint="logarithmic",
             log_factor=log_factor, regularization="Damping", beta=0.01,
-            dtype=dtype, jacobian=True, temperature=1.0)
+            dtype=dtype, jacobian=True, temperature=temperature_r)
         x0r = mw_to_logistic(
             np.clip(wdiag_r * np.full(Mr, 0.01),
                     low_r + 1e-9 * (high_r - low_r + 1e-30),
@@ -250,7 +281,7 @@ def main():
             sampler="chees", workload="realdata_southchina",
             problem=[int(dobs_r.size), int(Mr)],
             nchains=Cr, nsamples=Nr, nwarmup=Wr,
-            RegulFactor=alpha_r,
+            RegulFactor=alpha_r, temperature=temperature_r,
             compile_s=round(compile_s, 1),
             total_s=round(elapsed, 2),
             ess_min=float(jnp.min(ess_r)),
@@ -284,11 +315,12 @@ def main():
                 res["ess_per_total_s_median"] / ref_ess_s, 1)
         except Exception:  # noqa: BLE001 — anchor file optional
             pass
-        results["realdata_chees"] = res
+        key = ("realdata_chees_honest" if rd_temp == "auto"
+               else "realdata_chees")
+        results[key] = res
         print(json.dumps({"stage": "realdata", **res}), flush=True)
 
-    with open(os.path.join(os.path.dirname(__file__),
-                           "samplers_tpu.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
 
