@@ -31,7 +31,8 @@ def main():
     honest64 = load("GLOBAL_r05_honest64b.json")
     tempered128 = load("GLOBAL_r05_tempered128.json") or load(
         "GLOBAL_r05.json")
-    control = load("/tmp/GLOBAL_r04_control.json")
+    control = load("GLOBAL_r05_control32.json") or load(
+        "/tmp/GLOBAL_r04_control.json")
     chees_full = load("tools/global_chees_full.json")
     bm = load("tools/bounded_map.json")
     bm_conv = load("tools/bounded_map_converged.json")
