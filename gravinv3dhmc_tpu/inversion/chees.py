@@ -388,9 +388,14 @@ def CheesSample(model, nsamples, nwarmup, initial_model, aprior_model,
                 beta=0.01, seed=100, log_factor=100.0, step_size0=0.05,
                 target_accept=0.75, myrank=0, save_folder=None, nchains=16,
                 dtype=jnp.float32, verbose=True, temperature=1.0,
-                max_steps=1024):
+                max_steps=1024, chunk_iters=None):
     """Multi-chain ChEES-HMC on a :class:`GravMagModule` potential —
-    the ensemble counterpart of :func:`nuts.NUTSSample`."""
+    the ensemble counterpart of :func:`nuts.NUTSSample`.
+
+    ``chunk_iters``: dispatch the run as short jitted blocks
+    (:func:`run_chees_chunked`) instead of one program — REQUIRED for
+    problems whose single-program device execution would exceed ~1
+    minute (the remote-worker limit, docs/DESIGN.md timing rules)."""
     from .potential import logistic_to_mw, mw_to_logistic
 
     wdiag = np.asarray(model.wdiag)
@@ -416,22 +421,44 @@ def CheesSample(model, nsamples, nwarmup, initial_model, aprior_model,
                                   dtype)
     x0_b = x0_b + spread
 
-    def _run(xb, key, P):
-        def pot_batch(xx):
+    import time as _time
+    chain_key = random.fold_in(random.PRNGKey(seed), myrank)
+    if chunk_iters:
+        def pot2(xx, P):
             u, g, _ = batched.fn(xx, RegulFactor, P)
             return u, g
-        return run_chees(pot_batch, xb, key, n_warmup=nwarmup,
-                         n_samples=nsamples, step_size0=step_size0,
-                         target_accept=target_accept, dtype=dtype,
-                         max_steps=max_steps)
 
-    runner = jax.jit(_run)
-    import time as _time
-    t0 = _time.time()
-    xs, stats = runner(x0_b, random.fold_in(random.PRNGKey(seed), myrank),
-                       batched.params)
-    xs = np.asarray(xs, dtype=np.float64)  # (N, C, M)
-    elapsed = _time.time() - t0
+        t0 = _time.time()
+        buf, cstats = run_chees_chunked(
+            pot2, x0_b, chain_key, n_warmup=nwarmup, n_samples=nsamples,
+            chunk_iters=chunk_iters, step_size0=step_size0,
+            target_accept=target_accept, dtype=dtype,
+            max_steps=max_steps, pot_params=batched.params,
+            verbose=verbose)
+        xs = np.asarray(buf, dtype=np.float64)  # (N, C, M)
+        elapsed = _time.time() - t0
+        # map the block summaries onto the one-shot stats vocabulary:
+        # L as a per-iteration series so mean/sum below stay correct
+        # (warmup grad evals are not counted in the chunked mode)
+        stats = dict(cstats,
+                     warm_L=np.zeros(0),
+                     L=np.full(cstats["n_samples"],
+                               cstats["mean_L"], np.float64))
+    else:
+        def _run(xb, key, P):
+            def pot_batch(xx):
+                u, g, _ = batched.fn(xx, RegulFactor, P)
+                return u, g
+            return run_chees(pot_batch, xb, key, n_warmup=nwarmup,
+                             n_samples=nsamples, step_size0=step_size0,
+                             target_accept=target_accept, dtype=dtype,
+                             max_steps=max_steps)
+
+        runner = jax.jit(_run)
+        t0 = _time.time()
+        xs, stats = runner(x0_b, chain_key, batched.params)
+        xs = np.asarray(xs, dtype=np.float64)  # (N, C, M)
+        elapsed = _time.time() - t0
     mw = logistic_to_mw(xs, low[None, None, :], high[None, None, :],
                         log_factor, xp=np)
     samples = (mw * np.asarray(model.wdiag_inv)[None, None, :]

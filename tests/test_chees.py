@@ -135,3 +135,27 @@ def test_chees_sample_inversion(small_module):
     mean = samples.mean(axis=(0, 1))
     corr = np.corrcoef(mean, truth)[0, 1]
     assert corr > 0.2
+
+
+def test_chees_sample_chunked_mode(small_module):
+    """CheesSample(chunk_iters=...) — the block-dispatch mode that
+    survives the remote worker's single-program duration limit — must
+    deliver the same API surface and a comparable posterior."""
+    module, dobs, truth = small_module
+    M = module.n_active
+    res = chees.CheesSample(
+        module, nsamples=60, nwarmup=80,
+        initial_model=np.full(M, 0.001),
+        aprior_model=np.full(M, 0.001),
+        boundaries=np.column_stack([np.zeros(M), np.ones(M)]),
+        dobs=dobs, RegulFactor=1.0, regularization="Damping",
+        seed=7, log_factor=100.0, step_size0=0.05, nchains=8,
+        verbose=False, temperature=0.1, chunk_iters=20)
+    samples = res["samples"]
+    assert samples.shape[1] == 60  # rounded to chunk multiples (3 x 20)
+    assert np.isfinite(samples).all()
+    assert 0.2 < res["mean_accept"] <= 1.0
+    assert samples.min() >= -1e-6 and samples.max() <= 1.0 + 1e-6
+    mean = samples.mean(axis=(0, 1))
+    assert np.corrcoef(mean, truth)[0, 1] > 0.2
+    assert res["mean_L"] > 0 and res["max_steps_saturated"] <= 1.0
