@@ -249,27 +249,53 @@ def cg_device(module, dobs, boundary, regularization="Damping", beta=0.01,
         # f32 late-divergence of projected Fletcher-Reeves); the
         # adaptive mode keeps the reference's return-final semantics
         keep_best = alpha is not None
+    # single-program duration guard (docs/DESIGN.md timing rules: the
+    # remote worker dies on programs running past ~1 minute of device
+    # execution; a 6400-iteration full-scale solve crashed it). Deep
+    # FIXED-alpha solves run as restarted segments — well-defined there
+    # because keep_best tracks the one objective; the adaptive schedule
+    # carries cross-iteration state and stays single-program.
+    SEGMENT = 800
+    n_segments = 1
+    maxk_core = maxk
+    if alpha is not None and maxk > SEGMENT:
+        n_segments = -(-maxk // SEGMENT)
+        maxk_core = SEGMENT
     solve = _make_cg_core(
         Aw, None, None, None, module.mshape, active3d, regularization,
-        beta, q, maxk, rhomin, rhomax, "normalized", dtype, as_args=True,
-        fixed_alpha=alpha is not None, keep_best=keep_best)
+        beta, q, maxk_core, rhomin, rhomax, "normalized", dtype,
+        as_args=True, fixed_alpha=alpha is not None, keep_best=keep_best)
     arrs = (Aw, dobs_d, wdiag, wdiag_inv, wdiag * apr_m)
+    jsolve = jax.jit(solve)
     if alpha is None:
-        mw_fin, d_h, m_h, r_h, n_it = jax.jit(solve)(
-            mw0, jnp.ones(D, dtype), arrs)
+        mw_fin, d_h, m_h, r_h, n_it = jsolve(mw0, jnp.ones(D, dtype), arrs)
+        n_it = int(n_it)  # scalar d2h — also the completion barrier
+        d_hs = [np.asarray(d_h, np.float64)[:n_it]]
+        m_hs = [np.asarray(m_h, np.float64)[:n_it]]
+        r_hs = [np.asarray(r_h, np.float64)[:n_it]]
+        n_total = n_it
     else:
         # bounded MAP at a FIXED alpha (ladder mode): alpha rides as a
-        # traced argument so one executable serves the whole ladder
-        mw_fin, d_h, m_h, r_h, n_it = jax.jit(solve)(
-            mw0, jnp.ones(D, dtype), arrs, jnp.asarray(alpha, dtype))
-    n_it = int(n_it)  # scalar d2h — also the completion barrier
+        # traced argument so one executable serves a whole ladder
+        a = jnp.asarray(alpha, dtype)
+        mw_fin = mw0
+        d_hs, m_hs, r_hs = [], [], []
+        n_total = 0
+        for _ in range(n_segments):
+            mw_fin, d_h, m_h, r_h, n_it = jsolve(
+                mw_fin, jnp.ones(D, dtype), arrs, a)
+            n_it = int(n_it)  # per-segment scalar sync: short programs
+            d_hs.append(np.asarray(d_h, np.float64)[:n_it])
+            m_hs.append(np.asarray(m_h, np.float64)[:n_it])
+            r_hs.append(np.asarray(r_h, np.float64)[:n_it])
+            n_total += n_it
     return {
         "mw": mw_fin,
         "m": mw_fin * wdiag_inv,
-        "data_hist": np.asarray(d_h, np.float64)[:n_it],
-        "model_hist": np.asarray(m_h, np.float64)[:n_it],
-        "regul_hist": np.asarray(r_h, np.float64)[:n_it],
-        "n_iters": n_it,
+        "data_hist": np.concatenate(d_hs),
+        "model_hist": np.concatenate(m_hs),
+        "regul_hist": np.concatenate(r_hs),
+        "n_iters": n_total,
     }
 
 
