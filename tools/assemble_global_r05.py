@@ -37,6 +37,7 @@ def main():
     bm = load("tools/bounded_map.json")
     bm_conv = load("tools/bounded_map_converged.json")
     bm_deep = load("tools/bounded_map_deep.json")
+    map_cli = load("MAP_r05.json")
 
     art = {
         "case": "global whole-Earth tesseroid gz inversion (round 5)",
@@ -48,8 +49,12 @@ def main():
                 "what": "bounded MAP — fixed-alpha projected CG, "
                         "best-objective iterate, restarted segments "
                         "(run.py global --map-only)",
-                "corr": bm_deep and bm_deep["best_corr"],
-                "RMSM": bm_deep and bm_deep["best_RMSM"],
+                "corr": map_cli and map_cli["posterior_truth_corr"],
+                "RMSM": map_cli and map_cli["RMSM"],
+                "RMSD": map_cli and map_cli["RMSD"],
+                "total_s_end_to_end": map_cli and map_cli["total_s"],
+                "command": "python examples/run.py global --scale 1.0 "
+                           "--map-only --cg-alpha 1.6 --cg-maxk 6400",
                 "context": "r04's best-ever estimator was the HMC mean "
                            "at corr 0.589 / RMSM 0.126; the r04 "
                            "'resolution limit' at corr 0.44 was the "
@@ -175,6 +180,7 @@ def main():
                           "reference parity at smaller scales where "
                           "chains genuinely mix",
         },
+        "bounded_map_driver_run": map_cli,
         "bounded_map_ladder_maxk400": bm,
         "bounded_map_converged_recheck_maxk1600": bm_conv,
         "bounded_map_deep_maxk6400": bm_deep,
