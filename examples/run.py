@@ -136,6 +136,15 @@ def cmd_global(args):
     # WITH its Jacobian — instead of the reference's Sigma-tempered
     # quasi-MAP kernel (whose intervals are ~2x too narrow, GLOBAL_r04
     # coverage_2std 0.55). Same machinery, different target.
+    if args.honest and args.no_adapt_mass:
+        # without the Welford metric the kernel keeps the reference's
+        # p ~ N(0, Sigma^2) / unit-mass kinetic quirk, whose stationary
+        # distribution is ~exp(-U/Sigma^2) — NOT the labeled calibrated
+        # target. Storage only starts after the metric freezes, so with
+        # adapt_mass on every stored sample is drawn under the proper
+        # diagonal-metric kernel targeting exp(-U/T).
+        raise SystemExit("--honest requires the Welford metric warmup; "
+                         "drop --no-adapt-mass")
     honest_kw = (dict(constraint="logarithmic", jacobian=True,
                       hmc_temperature=2.0 * noise_sigma ** 2)
                  if args.honest else {})

@@ -117,6 +117,9 @@ def realdata_stage(stage):
     # The reference ran L in [5,40] (example/realdata/logout_T1.txt).
     Lrange = [int(v) for v in os.environ.get(
         "BENCH_REALDATA_LRANGE", "5,40").split(",")]
+    if len(Lrange) != 2 or Lrange[0] < 1 or Lrange[1] < Lrange[0]:
+        raise ValueError(
+            f"BENCH_REALDATA_LRANGE must be 'Lmin,Lmax', got {Lrange}")
     store_thin = int(os.environ.get("BENCH_REALDATA_THIN", "1"))
     t_build = time.time()
     module, dobs = build_realdata_problem()

@@ -177,6 +177,7 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
             hist = jnp.where(done, jnp.nan,
                              jnp.stack([d_next / dsize, m_next / msize,
                                         alpha]))
+            done_pre = done  # before this iteration's stop criterion
             done = done | stop_now
             new_carry = (mw_prev_n, mw_cur_n, I_n, Iw_n, alpha, done)
             if keep_best:
@@ -184,10 +185,13 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
                 # projection breaks conjugacy and can late-diverge in
                 # f32 — a full-scale warm start was measured passing
                 # objective 3.2e5 and ending at 1.3e8): track the best
-                # iterate by the FIXED objective and return that
+                # iterate by the FIXED objective and return that. Gate
+                # on done BEFORE this iteration's stop flag, or the
+                # iterate that TRIGGERS the stop criterion (typically
+                # the best of the run) could never be recorded.
                 mw_best, obj_best = carry[6], carry[7]
                 obj_next = d_next + alpha * m_next
-                better = (obj_next < obj_best) & ~done
+                better = (obj_next < obj_best) & ~done_pre
                 mw_best = jnp.where(better, mw_next, mw_best)
                 obj_best = jnp.where(better, obj_next, obj_best)
                 new_carry = new_carry + (mw_best, obj_best)
@@ -196,9 +200,16 @@ def _make_cg_core(Aw, dobs, wdiag, wdiag_inv, mshape, active3d,
         carry0 = (mw0, mw1, I0, Iw0, jnp.asarray(0.0, dtype),
                   jnp.asarray(False))
         if keep_best:
-            carry0 = carry0 + (mw1, data_value(mw1, c)
-                               + (alpha_f if alpha_f is not None else 0.0)
-                               * model_value(mw1))
+            # seed the best from BOTH the incoming point and the k=0
+            # step — a segmented (restarted) solve must never return
+            # worse than what it was handed
+            a0 = alpha_f if alpha_f is not None else jnp.asarray(0.0,
+                                                                 dtype)
+            obj_in = d0 + a0 * m0
+            obj_1 = data_value(mw1, c) + a0 * model_value(mw1)
+            take1 = obj_1 < obj_in
+            carry0 = carry0 + (jnp.where(take1, mw1, mw0),
+                               jnp.minimum(obj_in, obj_1))
         fin_carry, hist = lax.scan(body, carry0, jnp.arange(1, maxk))
         mw_fin = fin_carry[6] if keep_best else fin_carry[1]
         data_hist = jnp.concatenate([jnp.array([d0 / dsize], dtype),

@@ -197,6 +197,25 @@ def carry_shardings(mesh, welford=False):
     return sh
 
 
+def welford_metric_switch(carry, min_var=1e-12):
+    """Pooled Welford variance -> diagonal inverse mass, moments reset.
+
+    The canonical warmup metric switch over a Welford-carrying sampler
+    carry ``(..., w_mean, w_m2, w_count)`` (make_chunk_sampler
+    welford=True layout): inverse mass = pooled per-chain variance of
+    the window, moments zeroed for the next window. Returns
+    ``(carry_with_reset_moments, inv_mass)``. One implementation so the
+    carry-index surgery lives in exactly one place (the dryrun, the
+    2-process worker and the parity tests all perform this switch).
+    """
+    var = jnp.mean(carry[9], axis=0) / jnp.maximum(carry[10] - 1.0, 1.0)
+    inv_mass = jnp.clip(var, min_var, None)
+    carry = carry[:8] + (jnp.zeros_like(carry[8]),
+                         jnp.zeros_like(carry[9]),
+                         jnp.zeros_like(carry[10]))
+    return carry, inv_mass
+
+
 def make_sharded_chunk_sampler(mesh, potential_fn, *, low, high, M, nchains,
                                nsamples, ndraws, wdiag_inv, data_size,
                                dt=0.01, Lmin=5, Lmax=20, Sigma=0.001,

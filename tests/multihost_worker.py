@@ -56,11 +56,7 @@ def main():
     carry, stats = run_chunk(carry, jax.random.PRNGKey(0), 0, pot.params,
                              store_base=-(2 ** 30))
     # metric switch: pooled Welford variance -> diagonal inverse mass
-    var = jnp.mean(carry[9], axis=0) / jnp.maximum(carry[10] - 1.0, 1.0)
-    inv_mass = jnp.clip(var, 1e-12, None)
-    carry = carry[:8] + (jnp.zeros_like(carry[8]),
-                         jnp.zeros_like(carry[9]),
-                         jnp.zeros_like(carry[10]))
+    carry, inv_mass = sharded.welford_metric_switch(carry)
     carry, stats = run_chunk(carry, jax.random.PRNGKey(0), 1, pot.params,
                              dt=0.005, inv_mass=inv_mass, store_base=0)
     # global reductions: every process must compute identical values

@@ -10,11 +10,22 @@ stalls on bulk device->host copies), so only scalars cross the link.
 The ``realdata`` stage (round-4 verdict Missing #2: the adaptive
 samplers had never been measured on the north-star problem) runs ChEES
 on the full-feature South China case — spherical tesseroids, segmented
-depths, topography carve, frozen water cells — targeting the SAME
-exp(-U) distribution as the fixed-L HMC realdata bench block, and
-reports ESS/s against both anchors: the reference's conservative
-samples/s upper bound (BASELINE 12.42/s) and its measured like-for-like
-kernel ESS/s (tools/refkernel_f64.json, 0.32/s).
+depths, topography carve, frozen water cells. Targets and anchors,
+stated precisely (each result row carries a ``target_note``):
+
+* at SAMPLERS_RD_TEMP=1.0 the m-space objective matches the fixed-L
+  HMC bench block's ADAPTED kernel (proper diagonal metric => the
+  stationary law is exp(-U); boundary handling differs: logistic
+  transform here vs clamp there);
+* the reference-kernel anchor (tools/refkernel_f64.json, 0.32 ESS/s)
+  measures the reference's own effective target — the Sigma-tempered
+  quirk exp(-U/Sigma^2) — so EVERY ratio against it is cross-target;
+* the conservative anchor (BASELINE 12.42 samples/s) is raw wall-clock
+  throughput, target-agnostic by construction;
+* SAMPLERS_RD_TEMP=auto samples the CALIBRATED honest posterior
+  (sigma_hat from the bounded-MAP misfit floor) — a different, flatter
+  target than all of the above; its ratios measure what a user doing
+  defensible inference gets per second, not a same-target speedup.
 
 Usage:  python tools/samplers_tpu.py [nuts] [chees] [realdata]  (on TPU)
 Knobs:  SAMPLERS_NCHAINS (8), SAMPLERS_NSAMPLES (200),
@@ -296,6 +307,15 @@ def main():
             mean_L=float(stats["mean_L"]),
             max_steps_saturated=float(stats["max_steps_saturated"]),
             grad_evals=int(Cr * jnp.sum(stats["L"])),
+            target_note=(
+                "calibrated honest posterior (T=2*sigma_hat^2, flatter "
+                "than every anchor's target): ratios measure defensible-"
+                "inference throughput, not a same-target speedup"
+                if rd_temp == "auto" else
+                "raw exp(-U) objective (matches the bench's adapted HMC "
+                "in m-space; the reference-kernel anchor's own target "
+                "is the Sigma-tempered quirk, so that ratio is "
+                "cross-target)"),
         )
         res["grad_evals_per_total_s"] = round(res["grad_evals"] / elapsed,
                                               1)
