@@ -56,6 +56,18 @@ def test_uniformgrid_multichip_virtual_mesh():
     assert out["n_samples"] == 16
 
 
+def test_realdata_chees_auto_temperature():
+    """realdata --sampler chees: the calibrated mode on real data —
+    temperature auto-derived from the bounded-MAP misfit floor."""
+    out = _run(["realdata", "--sampler", "chees", "--nchains", "4",
+                "--nsamples", "16", "--nwarmup", "16",
+                "--chunk-size", "8", "--quiet"])
+    assert out["sampler"] == "chees"
+    assert out["temperature"] > 0
+    assert 0.2 < out["accept_ratio"] <= 1.0
+    assert out["problem"][1] > 10000  # carved spherical mesh built
+
+
 def test_multichip_rejects_undivisible_chains():
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
