@@ -286,6 +286,9 @@ def cmd_realdata(args):
         warm = args.nwarmup if args.nwarmup is not None \
             else max(args.ndraws, 100)
         if args.sampler == "nuts":
+            if args.no_transfer:
+                raise SystemExit("--no-transfer on realdata currently "
+                                 "pairs with --sampler chees")
             from gravinv3dhmc_tpu.inversion.nuts import NUTSSample
             stats = NUTSSample(module, args.nsamples, warm, initial,
                                aprior, boundaries, dobs, **kwargs)
@@ -293,7 +296,28 @@ def cmd_realdata(args):
             from gravinv3dhmc_tpu.inversion.chees import CheesSample
             stats = CheesSample(module, args.nsamples, warm, initial,
                                 aprior, boundaries, dobs,
-                                chunk_iters=args.chunk_size, **kwargs)
+                                chunk_iters=args.chunk_size,
+                                transfer_samples=not args.no_transfer,
+                                **kwargs)
+        if stats.get("samples") is None:
+            # tunnel-safe finish: statistics on device, scalars only
+            sl = stats["samples_device"]
+            dstats = {"samples_device": sl,
+                      "n_stored": np.full(args.nchains, sl.shape[1])}
+            out, _ = W.device_posterior_summary(module, dstats, dobs)
+            out.update(workload="realdata_southchina",
+                       sampler=args.sampler,
+                       problem=[int(dobs.size), int(M)],
+                       total_s=stats["elapsed_s"],
+                       accept_ratio=stats["mean_accept"],
+                       mean_L=stats["mean_L"],
+                       max_steps_saturated=stats["max_steps_saturated"],
+                       temperature=temperature)
+            if out.get("ess_median") is not None:
+                out["ess_per_s_median"] = (
+                    out["ess_median"] / max(stats["elapsed_s"], 1e-9))
+            print(json.dumps(out))
+            return
         chains = stats["samples"]
         stats.setdefault("elapsed_s", stats.get("elapsed_s", 0.0))
         stats["grad_evals_per_s"] = (stats.get("grad_evals", 0)
@@ -461,6 +485,13 @@ def main():
                          "is mpiexec -n N (run_main.sh:16-20). Test on "
                          "CPU with XLA_FLAGS=--xla_force_host_platform_"
                          "device_count=8 JAX_PLATFORMS=cpu")
+    ap.add_argument("--no-transfer", dest="no_transfer",
+                    action="store_true",
+                    help="realdata: keep the sample buffers "
+                         "device-resident and compute the posterior "
+                         "summary on device (REQUIRED on the tunnelled "
+                         "TPU link, which stalls on bulk device->host "
+                         "copies)")
     ap.add_argument("--setpmts", default=None,
                     help="reference-format SetPMTS.txt (JSON lines)")
     ap.add_argument("--attempt", type=int, default=0,

@@ -388,14 +388,21 @@ def CheesSample(model, nsamples, nwarmup, initial_model, aprior_model,
                 beta=0.01, seed=100, log_factor=100.0, step_size0=0.05,
                 target_accept=0.75, myrank=0, save_folder=None, nchains=16,
                 dtype=jnp.float32, verbose=True, temperature=1.0,
-                max_steps=1024, chunk_iters=None):
+                max_steps=1024, chunk_iters=None, transfer_samples=True):
     """Multi-chain ChEES-HMC on a :class:`GravMagModule` potential —
     the ensemble counterpart of :func:`nuts.NUTSSample`.
 
     ``chunk_iters``: dispatch the run as short jitted blocks
     (:func:`run_chees_chunked`) instead of one program — REQUIRED for
     problems whose single-program device execution would exceed ~1
-    minute (the remote-worker limit, docs/DESIGN.md timing rules)."""
+    minute (the remote-worker limit, docs/DESIGN.md timing rules).
+
+    ``transfer_samples=False`` (tunnel-safe mode, like
+    ``HamiltonianMC.transfer_samples``): the draws stay on device —
+    ``out['samples']`` is None and ``out['samples_device']`` holds the
+    (C, N, M) density-model array; file writing is skipped. Use it on
+    the tunnelled TPU link, which stalls on bulk device->host copies
+    (a 64x256x10427 buffer is ~680 MB)."""
     from .potential import logistic_to_mw, mw_to_logistic
 
     wdiag = np.asarray(model.wdiag)
@@ -435,8 +442,6 @@ def CheesSample(model, nsamples, nwarmup, initial_model, aprior_model,
             target_accept=target_accept, dtype=dtype,
             max_steps=max_steps, pot_params=batched.params,
             verbose=verbose)
-        xs = np.asarray(buf, dtype=np.float64)  # (N, C, M)
-        elapsed = _time.time() - t0
         # map the block summaries onto the one-shot stats vocabulary:
         # L as a per-iteration series so mean/sum below stay correct
         # (warmup grad evals are not counted in the chunked mode)
@@ -444,7 +449,45 @@ def CheesSample(model, nsamples, nwarmup, initial_model, aprior_model,
                      warm_L=np.zeros(0),
                      L=np.full(cstats["n_samples"],
                                cstats["mean_L"], np.float64))
+        if not transfer_samples:
+            # tunnel-safe finish: transform to the density-model domain
+            # ON DEVICE, keep it there; a scalar readback is the
+            # completion barrier
+            low_d = jnp.asarray(low, dtype)
+            high_d = jnp.asarray(high, dtype)
+            winv_d = jnp.asarray(np.asarray(model.wdiag_inv), dtype)
+
+            @jax.jit
+            def to_m(b):
+                mw_d = logistic_to_mw(b, low_d[None, None, :],
+                                      high_d[None, None, :], log_factor)
+                return jnp.transpose(mw_d * winv_d[None, None, :],
+                                     (1, 0, 2))
+
+            m_dev = to_m(buf)  # (C, N, M), device
+            float(m_dev[0, 0, 0])
+            elapsed = _time.time() - t0
+            return {
+                "samples": None,
+                "samples_device": m_dev,
+                "step_size": float(np.asarray(stats["step_size"])),
+                "trajectory_time": float(np.asarray(
+                    stats["trajectory_time"])),
+                "mean_accept": float(np.mean(np.asarray(
+                    stats["accept"]))),
+                "mean_L": float(np.mean(np.asarray(stats["L"]))),
+                "max_steps": int(np.asarray(stats["max_steps"])),
+                "max_steps_saturated": float(np.asarray(
+                    stats["max_steps_saturated"])),
+                "elapsed_s": elapsed,
+                "grad_evals": int(np.asarray(stats["L"]).sum()),
+            }
+        xs = np.asarray(buf, dtype=np.float64)  # (N, C, M)
+        elapsed = _time.time() - t0
     else:
+        if not transfer_samples:
+            raise ValueError("transfer_samples=False requires the "
+                             "chunked mode (pass chunk_iters)")
         def _run(xb, key, P):
             def pot_batch(xx):
                 u, g, _ = batched.fn(xx, RegulFactor, P)
