@@ -77,18 +77,26 @@ class JointModule:
         self.mzs = mesh.get_zs()
 
         if coordinate == "spherical":
+            # EXTENSION: the reference's joint module cannot do spherical
+            # at all (inversion/potential.py:897 raises); the magnetic
+            # tesseroid kernel (Poisson relation over the GLQ tensor,
+            # ops/tesseroid.py tf) completes the pair here.
             from ..ops import tesseroid as tess
             mesh.addprop("density", np.zeros(mesh.size))
-            kernel_gz = tess.tesseroid_kernel_matrix("gz", lon, lat, height,
-                                                     mesh)
-            raise NotImplementedError(
-                "spherical joint needs the magnetic tesseroid kernel, which "
-                "the reference also lacks (inversion/potential.py:897)")
-        mesh.addprop("density", np.zeros(mesh.size))
-        kernel_gz = prism.prism_kernel_matrix("gz", lon, lat, height, mesh)
-        mesh.addprop("magnetization",
-                     ang2vec(np.zeros(mesh.size), self.inc, self.dec))
-        _, kernel_tf = prism.tf(lon, lat, height, mesh, self.inc, self.dec)
+            kernel_gz = tess.tesseroid_kernel_matrix("gz", lon, lat,
+                                                     height, mesh)
+            mesh.addprop("magnetization",
+                         ang2vec(np.zeros(mesh.size), self.inc, self.dec))
+            _, kernel_tf = tess.tf(lon, lat, height, mesh, self.inc,
+                                   self.dec)
+        else:
+            mesh.addprop("density", np.zeros(mesh.size))
+            kernel_gz = prism.prism_kernel_matrix("gz", lon, lat, height,
+                                                  mesh)
+            mesh.addprop("magnetization",
+                         ang2vec(np.zeros(mesh.size), self.inc, self.dec))
+            _, kernel_tf = prism.tf(lon, lat, height, mesh, self.inc,
+                                    self.dec)
         self.kernel_gz = kernel_gz
         self.kernel_tf = kernel_tf
 

@@ -152,10 +152,11 @@ class GravMagModule:
             raise ValueError(
                 "Please choose coordinate from(cartesian, spherical) and "
                 "field from(gravity, magnetic)!")
-        if coordinate == "spherical" and field == "magnetic":
-            raise NotImplementedError(
-                "spherical magnetic is not implemented (the reference stubs "
-                "it too, inversion/potential.py:106-108)")
+        # NOTE spherical + magnetic is now IMPLEMENTED here (Poisson's
+        # relation over the tesseroid GLQ tensor, ops/tesseroid.py tf) —
+        # an extension beyond the reference, which stubs that branch
+        # (inversion/potential.py:106-108; readme.md:9-18 "not
+        # implemented").
 
         # ----- mesh ------------------------------------------------------
         if coordinate == "spherical":
@@ -218,6 +219,17 @@ class GravMagModule:
                          ang2vec(np.zeros(mesh.size), self.inc, self.dec))
             _, kernel = prism.tf(self.lonobs, self.latobs, self.heightobs,
                                  mesh, self.inc, self.dec)
+        elif coordinate == "spherical" and field == "magnetic":
+            # EXTENSION: the reference stubs this branch
+            # (inversion/potential.py:106-108). Total-field kernel via
+            # Poisson's relation over the tesseroid GLQ tensor
+            # (ops/tesseroid.py tf; flat-earth parity pinned in
+            # tests/test_tesseroid_magnetic.py).
+            from ..ops import tesseroid as tess
+            mesh.addprop("magnetization",
+                         ang2vec(np.zeros(mesh.size), self.inc, self.dec))
+            _, kernel = tess.tf(self.lonobs, self.latobs, self.heightobs,
+                                mesh, self.inc, self.dec)
         else:  # spherical gravity
             from ..ops import tesseroid as tess
             mesh.addprop("density", np.zeros(mesh.size))

@@ -805,3 +805,105 @@ def forward(field, lon, lat, height, model, dens=None, ratio=None):
     res, _ = _tess_field(field)(lon, lat, height, model, dens=dens,
                                 ratio=ratio)
     return res
+
+
+# --------------------------------------------------------------------------
+# magnetics — an EXTENSION: the reference declares spherical magnetic
+# "not implemented" (readme.md:9-18; inversion/potential.py:106-108 stubs
+# it). Built on Poisson's relation: the induction of a uniformly
+# magnetized body is the gravity-gradient tensor of the same geometry
+# contracted with the magnetization vector, so the adaptive-GLQ tensor
+# kernels above ARE the magnetic kernels up to constants and frame.
+# --------------------------------------------------------------------------
+
+def _tensor_kernels_local_down(lons, lats, heights, mesh_or_cells,
+                               ratio=None, backend="auto"):
+    """Six RAW tensor kernel matrices in the local x=north, y=east,
+    z=DOWN frame (the prism/magnetics convention, ops/prism.py).
+
+    The GLQ tensor kernels use a local z-UP radial axis, so the mixed
+    z terms flip sign (measured against the prism tensor in the
+    flat-earth limit: gxz/gyz ratio -1, everything else +1 —
+    tests/test_tesseroid_magnetic.py pins this). "Raw" = each field's
+    output scaling divided back out (this also neutralises the
+    reference's Gs-on-gy quirk, which must not leak into magnetics).
+    """
+    vs = []
+    for f in ("gxx", "gxy", "gxz", "gyy", "gyz", "gzz"):
+        k = tesseroid_kernel_matrix(f, lons, lats, heights, mesh_or_cells,
+                                    ratio=ratio, backend=backend)
+        k = k / _SCALES[f]
+        if f in ("gxz", "gyz"):
+            k = -k
+        vs.append(k)
+    return vs
+
+
+def tf(lons, lats, heights, mesh_or_cells, inc, dec, pmag=None,
+       ratio=None, backend="auto", **_ignored):
+    """Total-field magnetic anomaly of tesseroids and its sensitivity
+    matrix — same API and conventions as :func:`ops.prism.tf`
+    (inc/dec in degrees, inc positive down; output nT via CM * T2NT;
+    ``kernel2d`` columns = unit INDUCED magnetization along the
+    regional field). Reference: declared unimplemented
+    (gravmag/tesseroid.py:510 stub comment)."""
+    from ..utils.units import dircos
+    from .prism import _magnetization_vectors, _project
+
+    cells = _tess_cells(mesh_or_cells)
+    M = cells.shape[0]
+    fdir = dircos(inc, dec)
+    fx, fy, fz = fdir
+    # magnetization override rules shared with the prism driver (its
+    # _as_cells reads props through the same mesh interface — bounds
+    # units differ between prisms and tesseroids, props do not)
+    mvec = _magnetization_vectors(mesh_or_cells, pmag, fdir, M)
+    vs = _tensor_kernels_local_down(lons, lats, heights, mesh_or_cells,
+                                    ratio=ratio, backend=backend)
+    scale = constants.CM * constants.T2NT
+    bxm, bym, bzm = _project(vs, (mvec[0][None, :], mvec[1][None, :],
+                                  mvec[2][None, :]))
+    res = (fx * bxm + fy * bym + fz * bzm).sum(axis=1) * scale
+    bxf, byf, bzf = _project(vs, (fx, fy, fz))
+    kernel2d = (fx * bxf + fy * byf + fz * bzf) * scale
+    return res, kernel2d
+
+
+def _b_component_tess(index):
+    def compute(lons, lats, heights, mesh_or_cells, pmag=None, ratio=None,
+                backend="auto", **_ignored):
+        """One component of the magnetic induction (nT), local x=north /
+        y=east / z=down — the tesseroid counterpart of
+        ops.prism.bx/by/bz (result only, like the reference's prism
+        b-components, gravmag/prism.py:735-870)."""
+        from .prism import _project
+
+        cells = _tess_cells(mesh_or_cells)
+        M = cells.shape[0]
+        if pmag is not None:
+            vec = np.asarray(pmag, dtype=np.float64).reshape(3, 1)
+            mvec = np.broadcast_to(vec, (3, M))
+        else:
+            values = None
+            if hasattr(mesh_or_cells, "props"):
+                values = mesh_or_cells.props.get("magnetization")
+                if values is not None:
+                    values = np.asarray(values,
+                                        np.float64)[mesh_or_cells.active]
+            if values is None or np.asarray(values).ndim != 2:
+                raise ValueError(
+                    "b-components need vector magnetization or pmag")
+            mvec = np.asarray(values, dtype=np.float64).T
+        vs = _tensor_kernels_local_down(lons, lats, heights,
+                                        mesh_or_cells, ratio=ratio,
+                                        backend=backend)
+        comps = _project(vs, (mvec[0][None, :], mvec[1][None, :],
+                              mvec[2][None, :]))
+        return comps[index].sum(axis=1) * constants.CM * constants.T2NT
+
+    return compute
+
+
+bx = _b_component_tess(0)
+by = _b_component_tess(1)
+bz = _b_component_tess(2)
